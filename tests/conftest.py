@@ -1,0 +1,46 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no multi-chip hardware here), per the
+standard JAX recipe: force the host platform and fan it out to 8 devices BEFORE
+jax initializes. Real-TPU execution is exercised by bench.py, not the test
+suite.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+import numpy as np  # noqa: E402
+
+from lut_renderer_tpu.colorcore import Lut3D  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def identity_lut():
+    return Lut3D.identity(33)
+
+
+@pytest.fixture(scope="session")
+def random_lut():
+    """A smooth-ish random 17^3 LUT (identity + bounded perturbation)."""
+    rng = np.random.default_rng(42)
+    lut = Lut3D.identity(17)
+    noise = rng.uniform(-0.05, 0.05, size=lut.table.shape).astype(np.float32)
+    table = np.clip(lut.table + noise, 0.0, 1.0)
+    return Lut3D(table=table, title="random17")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
