@@ -1,0 +1,122 @@
+"""Planar pixel ops around the LUT core: YUV<->RGB, chroma resampling, range
+normalization, and dithered quantization — all jnp elementwise/planar ops that
+XLA fuses at memory-bound speed (no Pallas needed; see experiments/FINDINGS.md).
+
+These are the TPU equivalents of what the reference delegates to FFmpeg's
+swscale/zscale (`scale=in_range=...:in_color_matrix=...`, `format=...`,
+`zscale=dither=error_diffusion` — src/lut_renderer/ffmpeg.py:211-236, 304-310).
+The math mirrors colorcore.matrices exactly (shared constants via the same
+module) so host-reference parity holds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..colorcore import matrices as cm
+from ..colorcore.dither import bayer_offsets
+
+
+def yuv_planes_to_rgb(y, u, v, matrix: str = "bt709", depth: int = 8,
+                      full_range: bool = False):
+    """YUV code-value planes (already co-sited/full-res) -> RGB [0,1] planes."""
+    return cm.yuv_to_rgb_planes(y, u, v, matrix, depth, full_range, xp=jnp)
+
+
+def rgb_to_yuv_planes_tpu(r, g, b, matrix: str = "bt709", depth: int = 8,
+                          full_range: bool = False):
+    return cm.rgb_to_yuv_planes(r, g, b, matrix, depth, full_range, xp=jnp)
+
+
+def range_normalize(y, u, v, depth: int, in_full: bool, out_full: bool):
+    if in_full == out_full:
+        return y, u, v
+    shift = float(1 << (depth - 8))
+    c_mid = float(1 << (depth - 1))
+    if in_full and not out_full:
+        return (
+            y * (219.0 / 255.0) + 16.0 * shift,
+            (u - c_mid) * (224.0 / 255.0) + c_mid,
+            (v - c_mid) * (224.0 / 255.0) + c_mid,
+        )
+    return (
+        (y - 16.0 * shift) * (255.0 / 219.0),
+        (u - c_mid) * (255.0 / 224.0) + c_mid,
+        (v - c_mid) * (255.0 / 224.0) + c_mid,
+    )
+
+
+def chroma_upsample_420(c, mode: str = "nearest"):
+    """(H/2, W/2) chroma plane -> (H, W).
+
+    "nearest" replicates each sample 2x2 (FFmpeg's fast default for
+    yuv420p->RGB conversion without accurate-rounding flags); "bilinear" does
+    center-sited averaging for higher quality.
+    """
+    up = jnp.repeat(jnp.repeat(c, 2, axis=-2), 2, axis=-1)
+    if mode == "nearest":
+        return up
+    if mode == "bilinear":
+        # Smooth with a separable [1 3 3 1]/8-ish tent via simple neighbor mix
+        # on the upsampled grid (half-pel centered chroma siting).
+        padded = jnp.pad(up, [(1, 1), (1, 1)], mode="edge")
+        return (
+            up * 0.5
+            + 0.125 * (padded[:-2, 1:-1] + padded[2:, 1:-1]
+                       + padded[1:-1, :-2] + padded[1:-1, 2:])
+        )
+    raise ValueError(f"unknown chroma upsample mode {mode!r}")
+
+
+def chroma_downsample_420(c):
+    """(H, W) chroma plane -> (H/2, W/2) by 2x2 mean (swscale-style box)."""
+    h, w = c.shape[-2], c.shape[-1]
+    return c.reshape(*c.shape[:-2], h // 2, 2, w // 2, 2).mean(axis=(-3, -1))
+
+
+def chroma_resample_422_to_444(c):
+    return jnp.repeat(c, 2, axis=-1)
+
+
+def chroma_downsample_422(c):
+    w = c.shape[-1]
+    return c.reshape(*c.shape[:-1], w // 2, 2).mean(axis=-1)
+
+
+_BAYER = None
+
+
+def _bayer(depth_order: int = 4) -> np.ndarray:
+    global _BAYER
+    if _BAYER is None:
+        _BAYER = bayer_offsets(depth_order)
+    return _BAYER
+
+
+def quantize_plane(x, depth: int, dither: str = "none",
+                   tile_offset: Tuple[int, int] = (0, 0)):
+    """Float code values -> integer plane at `depth` bits.
+
+    dither "none": round-to-nearest (floor(x+0.5), FFmpeg convention);
+    "ordered": tiled 16x16 Bayer zero-mean offsets added pre-round — the TPU
+    substitute for zscale error diffusion (policy note in plan.policy).
+    """
+    maxv = (1 << depth) - 1
+    if dither == "ordered":
+        pat = jnp.asarray(_bayer())
+        th, tw = pat.shape
+        h, w = x.shape[-2], x.shape[-1]
+        oy, ox = tile_offset
+        reps_h = -(-h // th) + 1
+        reps_w = -(-w // tw) + 1
+        tiled = jnp.tile(pat, (reps_h, reps_w))[oy:oy + h, ox:ox + w]
+        x = x + tiled
+    out = jnp.clip(jnp.floor(x + 0.5), 0, maxv)
+    return out.astype(jnp.uint8 if depth <= 8 else jnp.uint16)
+
+
+def plane_to_float(x) -> jnp.ndarray:
+    return x.astype(jnp.float32)

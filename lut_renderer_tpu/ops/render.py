@@ -1,0 +1,142 @@
+"""Fused per-frame render op: planar YUV in -> planar YUV out on TPU.
+
+Assembles the full pixel pipeline the reference expresses as an FFmpeg filter
+chain (scale range/matrix -> format -> lut3d -> [dither] -> format, assembled
+at src/lut_renderer/ffmpeg.py:195-247,304-310 and executed inside the FFmpeg
+process): here it is one jit-compiled function — XLA fuses the elementwise
+stages, and the LUT core runs the Pallas MXU kernel (ops.lut3d).
+
+The whole function is vmappable over a leading frame-batch axis and shardable
+over a device mesh (parallel.sharding wires that up).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lut3d import apply_lut_planes
+from .pixel import (
+    chroma_downsample_420,
+    chroma_downsample_422,
+    chroma_resample_422_to_444,
+    chroma_upsample_420,
+    quantize_plane,
+    range_normalize,
+    yuv_planes_to_rgb,
+    rgb_to_yuv_planes_tpu,
+)
+from .prepare import PreparedLut
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) pixel-pipeline configuration for one render stage.
+
+    Derived from a plan.RenderSpec + probe info by engine.executor; kept
+    independent here so the op layer has no upward dependencies.
+    """
+
+    in_depth: int = 8
+    out_depth: int = 8
+    in_subsampling: str = "420"   # "420" | "422" | "444"
+    out_subsampling: str = "420"
+    in_full_range: bool = False
+    # Range the pipeline normalizes to before the LUT (policy: pc sources ->
+    # tv unless tags say otherwise; ffmpeg.py:212-233).
+    work_full_range: bool = False
+    out_full_range: bool = False
+    matrix_in: str = "bt709"
+    matrix_out: str = "bt709"
+    interp: str = "tetrahedral"
+    dither: str = "none"          # "none" | "ordered"
+    chroma_up: str = "nearest"    # "nearest" | "bilinear"
+    apply_lut: bool = True
+    # Requantize after range normalization to mimic the reference's 8-bit
+    # intermediate `format=yuv420p` step (ffmpeg.py:233); parity knob.
+    requantize_intermediate: bool = True
+
+
+def _upsample(u, v, subsampling: str, mode: str):
+    if subsampling == "420":
+        return chroma_upsample_420(u, mode), chroma_upsample_420(v, mode)
+    if subsampling == "422":
+        return chroma_resample_422_to_444(u), chroma_resample_422_to_444(v)
+    return u, v
+
+
+def _downsample(u, v, subsampling: str):
+    if subsampling == "420":
+        return chroma_downsample_420(u), chroma_downsample_420(v)
+    if subsampling == "422":
+        return chroma_downsample_422(u), chroma_downsample_422(v)
+    return u, v
+
+
+def render_yuv_frame(
+    y, u, v,
+    prep: Optional[PreparedLut],
+    cfg: RenderConfig,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One frame through the fused pipeline. Inputs are integer code-value
+    planes (uint8/uint16) at cfg.in_depth with cfg.in_subsampling chroma."""
+    yf = y.astype(jnp.float32)
+    uf = u.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # 1. range normalization in YUV space (pc -> work range), matching the
+    #    reference's scale=in_range:out_range step placement before the LUT.
+    yf, uf, vf = range_normalize(
+        yf, uf, vf, cfg.in_depth, cfg.in_full_range, cfg.work_full_range
+    )
+    if cfg.requantize_intermediate and cfg.in_full_range != cfg.work_full_range:
+        maxv = float((1 << cfg.in_depth) - 1)
+        yf = jnp.clip(jnp.floor(yf + 0.5), 0, maxv)
+        uf = jnp.clip(jnp.floor(uf + 0.5), 0, maxv)
+        vf = jnp.clip(jnp.floor(vf + 0.5), 0, maxv)
+
+    # 2. chroma to 4:4:4
+    uf, vf = _upsample(uf, vf, cfg.in_subsampling, cfg.chroma_up)
+
+    # 3. YUV -> RGB [0,1]
+    r, g, b = yuv_planes_to_rgb(
+        yf, uf, vf, cfg.matrix_in, cfg.in_depth, cfg.work_full_range
+    )
+
+    # 4. 3D LUT on the MXU
+    if cfg.apply_lut and prep is not None:
+        r, g, b = apply_lut_planes(r, g, b, prep, cfg.interp, interpret=interpret)
+
+    # 5. RGB -> YUV at output depth/range/matrix
+    yo, uo, vo = rgb_to_yuv_planes_tpu(
+        r, g, b, cfg.matrix_out, cfg.out_depth, cfg.out_full_range
+    )
+
+    # 6. chroma subsample (on float values, pre-quantization)
+    uo, vo = _downsample(uo, vo, cfg.out_subsampling)
+
+    # 7. quantize (+ ordered dither if requested)
+    yq = quantize_plane(yo, cfg.out_depth, cfg.dither)
+    uq = quantize_plane(uo, cfg.out_depth, cfg.dither)
+    vq = quantize_plane(vo, cfg.out_depth, cfg.dither)
+    return yq, uq, vq
+
+
+def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
+                   batched: bool = True, interpret: bool = False):
+    """Build a jitted render function.
+
+    batched=True: operates on stacked planes (B, H, W) / (B, Hc, Wc) via vmap
+    over the frame axis — the unit the engine feeds per device step.
+    """
+    fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
+                           interpret=interpret)
+    base = (lambda y, u, v: fn(y, u, v))
+    if batched:
+        base = jax.vmap(base)
+    return jax.jit(base)

@@ -1,0 +1,104 @@
+"""Parity tests: Pallas MXU LUT kernel vs the colorcore reference interpolators.
+
+Run in interpret mode on CPU (real-TPU execution is exercised by bench.py).
+Small frames keep interpret-mode runtime sane.
+"""
+
+import numpy as np
+import pytest
+
+from lut_renderer_tpu.colorcore import Lut3D, apply_lut
+from lut_renderer_tpu.ops import prepare_lut
+from lut_renderer_tpu.ops.lut3d import apply_lut_planes
+
+H, W = 8, 256  # 2048 pixels -> two BM=1024 blocks for N<=33
+
+
+def _rand_rgb_planes(rng, h=H, w=W):
+    r = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    g = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    b = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    return r, g, b
+
+
+def _reference(r, g, b, lut, interp):
+    rgb = np.stack([r, g, b], axis=-1)
+    out = apply_lut(rgb, lut, interp)
+    return out[..., 0], out[..., 1], out[..., 2]
+
+
+@pytest.mark.parametrize("interp", ["nearest", "trilinear", "tetrahedral"])
+def test_mxu_matches_reference_random_lut(interp, random_lut, rng):
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(random_lut)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+    rr, gr, br = _reference(r, g, b, random_lut, interp)
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6, err_msg=interp)
+    np.testing.assert_allclose(np.asarray(go), gr, atol=3e-6, err_msg=interp)
+    np.testing.assert_allclose(np.asarray(bo), br, atol=3e-6, err_msg=interp)
+
+
+@pytest.mark.parametrize("interp", ["trilinear", "tetrahedral"])
+def test_mxu_identity_lut(interp, identity_lut, rng):
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(identity_lut)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+    np.testing.assert_allclose(np.asarray(ro), r, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(go), g, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(bo), b, atol=3e-6)
+
+
+def test_mxu_lattice_points_exact(random_lut, rng):
+    n = random_lut.size
+    idx = rng.integers(0, n, size=(H * W, 3))
+    rgb = (idx / (n - 1)).astype(np.float32).reshape(H, W, 3)
+    prep = prepare_lut(random_lut)
+    ro, go, bo = apply_lut_planes(
+        rgb[..., 0], rgb[..., 1], rgb[..., 2], prep, "tetrahedral", interpret=True
+    )
+    want = random_lut.table[idx[:, 0], idx[:, 1], idx[:, 2]].reshape(H, W, 3)
+    np.testing.assert_allclose(np.asarray(ro), want[..., 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bo), want[..., 2], atol=1e-5)
+
+
+def test_mxu_nonaligned_pixel_count(random_lut, rng):
+    """P not a multiple of the block size exercises the zero-padding path."""
+    r, g, b = _rand_rgb_planes(rng, 5, 77)
+    prep = prepare_lut(random_lut)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral", interpret=True)
+    rr, gr, br = _reference(r, g, b, random_lut, "tetrahedral")
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6)
+    assert ro.shape == (5, 77)
+
+
+def test_mxu_domain_mapping(rng):
+    lut = Lut3D.identity(9)
+    lut.domain_min = np.array([0.0, 0.0, 0.0], np.float32)
+    lut.domain_max = np.array([0.5, 0.5, 0.5], np.float32)
+    prep = prepare_lut(lut)
+    r = np.full((8, 128), 0.25, np.float32)
+    ro, go, bo = apply_lut_planes(r, r, r, prep, "trilinear", interpret=True)
+    np.testing.assert_allclose(np.asarray(ro), 0.5, atol=1e-6)
+
+
+def test_gather_strategy_matches(random_lut, rng):
+    r, g, b = _rand_rgb_planes(rng, 4, 64)
+    prep = prepare_lut(random_lut)
+    ro, _, _ = apply_lut_planes(r, g, b, prep, "tetrahedral", strategy="gather")
+    rr, _, _ = _reference(r, g, b, random_lut, "tetrahedral")
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6)
+
+
+def test_edge_values(random_lut):
+    """Inputs exactly 0.0 and 1.0 hit the clamped-corner paths."""
+    r = np.array([[0.0] * 64 + [1.0] * 64], np.float32)
+    prep = prepare_lut(random_lut)
+    for interp in ("nearest", "trilinear", "tetrahedral"):
+        ro, go, bo = apply_lut_planes(r, r, r, prep, interp, interpret=True)
+        n = random_lut.size
+        np.testing.assert_allclose(
+            np.asarray(ro)[0, 0], random_lut.table[0, 0, 0, 0], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ro)[0, -1], random_lut.table[n - 1, n - 1, n - 1, 0], atol=1e-6
+        )
