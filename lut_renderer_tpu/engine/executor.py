@@ -1,0 +1,301 @@
+"""Stage executor: the pipelined decode -> TPU render -> encode hot loop.
+
+Reference analog: one FFmpeg subprocess per stage with its stderr parsed for
+progress (src/lut_renderer/task_manager.py:134-190). Here the loop is
+first-party and pipelined:
+
+    [decode thread] --batchQ--> [main: jitted TPU render] --encQ--> [encode thread]
+
+Bounded queues give double buffering: while the device renders batch N, the
+decode thread fills N+1 and the encode thread drains N-1. Batches are padded
+to a fixed shape so XLA compiles exactly once per stage. Frame-accurate
+progress (0..100) and per-phase throughput stats replace stderr scraping.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from fractions import Fraction
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..hostio.decode import VideoDecoder
+from ..hostio.encode import EncoderSettings, VideoEncoder
+from ..models import VideoInfo
+from ..ops.prepare import PreparedLut
+from ..ops.render import make_render_fn
+from ..plan.policy import RenderSpec
+from .config import (
+    derive_encoder_settings,
+    derive_render_config,
+    effective_output_pix_fmt,
+    output_fps,
+    parse_resolution,
+)
+from .scheduler import FrameScheduler
+
+ProgressCb = Callable[[int], None]
+LogCb = Callable[[str], None]
+
+
+@dataclass
+class StageStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    wall_s: float = 0.0
+    decode_s: float = 0.0
+    render_s: float = 0.0
+    encode_s: float = 0.0
+    batches: int = 0
+
+    def summary(self) -> str:
+        def rate(n, t):
+            return f"{n / t:.1f} fps" if t > 0 else "n/a"
+
+        return (
+            f"{self.frames_out} frames in {self.wall_s:.2f}s "
+            f"({rate(self.frames_out, self.wall_s)} overall; "
+            f"decode {rate(self.frames_in, self.decode_s)}, "
+            f"render {rate(self.frames_out, self.render_s)}, "
+            f"encode {rate(self.frames_out, self.encode_s)})"
+        )
+
+
+@dataclass
+class StageResult:
+    ok: bool
+    canceled: bool = False
+    error: str = ""
+    stats: StageStats = field(default_factory=StageStats)
+
+
+def _pick_batch_size(width: int, height: int) -> int:
+    # target ~16 Mpix per device step; clamp to [1, 16]
+    per = max(1, width * height)
+    return int(max(1, min(16, round(16_000_000 / per))))
+
+
+def run_stage(
+    spec: RenderSpec,
+    source_info: Optional[VideoInfo],
+    prep: Optional[PreparedLut],
+    progress_cb: Optional[ProgressCb] = None,
+    log_cb: Optional[LogCb] = None,
+    cancel: Optional[threading.Event] = None,
+    batch_size: Optional[int] = None,
+    interpret: bool = False,
+    lut_strategy: str = "mxu",
+) -> StageResult:
+    log = log_cb or (lambda m: None)
+    progress = progress_cb or (lambda p: None)
+    cancel = cancel or threading.Event()
+    stats = StageStats()
+    t_start = time.perf_counter()
+
+    try:
+        dec = VideoDecoder(spec.source)
+    except Exception as exc:
+        return StageResult(ok=False, error=f"decode open failed: {exc}")
+
+    try:
+        w, h = dec.width, dec.height
+        if w % 2 or h % 2:
+            return StageResult(
+                ok=False,
+                error=f"odd frame dimensions {w}x{h} unsupported for 4:2:0",
+            )
+        import dataclasses as _dc
+
+        eff_pix = effective_output_pix_fmt(spec, source_info)
+        if eff_pix != spec.pix_fmt:
+            spec = _dc.replace(spec, pix_fmt=eff_pix)
+            log(f"engine: output pix_fmt negotiated to {eff_pix} "
+                f"({spec.video_codec} supported formats)")
+        cfg = derive_render_config(spec, source_info)
+        if lut_strategy != "mxu":
+            cfg = _dc.replace(cfg, lut_strategy=lut_strategy)
+        out_w, out_h = parse_resolution(spec.resolution) or (w, h)
+        enc_settings = derive_encoder_settings(spec, source_info, out_w, out_h)
+        fps = output_fps(spec, source_info)
+        bsz = batch_size or _pick_batch_size(w, h)
+        log(
+            f"engine: {w}x{h} -> {out_w}x{out_h} @{float(fps):.3f}fps, "
+            f"batch={bsz}, in {cfg.in_depth}bit/{cfg.in_subsampling} "
+            f"-> out {cfg.out_depth}bit/{cfg.out_subsampling}, "
+            f"interp={cfg.interp}, dither={cfg.dither}, "
+            f"matrix {cfg.matrix_in}->{cfg.matrix_out}"
+        )
+
+        audio_from = (
+            Path(spec.source)
+            if (source_info and source_info.audio_codec and spec.audio_codec)
+            else None
+        )
+        try:
+            enc = VideoEncoder(spec.output, enc_settings, audio_from=audio_from)
+        except Exception as exc:
+            dec.close()
+            return StageResult(ok=False, error=f"encoder open failed: {exc}")
+
+        render_fn = make_render_fn(prep, cfg, interpret=interpret)
+        sched = FrameScheduler(spec.fps_mode, fps)
+
+        total_est = None
+        if source_info:
+            if spec.fps_mode == "cfr" and source_info.duration:
+                total_est = int(source_info.duration * float(fps))
+            elif source_info.nb_frames:
+                total_est = source_info.nb_frames
+            elif source_info.duration and source_info.fps:
+                total_est = int(source_info.duration * source_info.fps)
+
+        batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        enc_q: "queue.Queue" = queue.Queue(maxsize=2)
+        enc_error: list = []
+
+        def decode_loop():
+            t0 = time.perf_counter()
+            ys, us, vs = [], [], []
+            try:
+                for frame in sched.schedule(iter(dec)):
+                    if cancel.is_set():
+                        break
+                    stats.frames_in += 1
+                    ys.append(frame.y)
+                    us.append(frame.u)
+                    vs.append(frame.v)
+                    if len(ys) == bsz:
+                        batch_q.put(
+                            ("batch", np.stack(ys), np.stack(us), np.stack(vs), bsz)
+                        )
+                        ys, us, vs = [], [], []
+                if ys and not cancel.is_set():
+                    count = len(ys)
+                    while len(ys) < bsz:  # pad to the compiled shape
+                        ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
+                    batch_q.put(
+                        ("batch", np.stack(ys), np.stack(us), np.stack(vs), count)
+                    )
+                batch_q.put(("eof", None, None, None, 0))
+            except Exception as exc:  # pragma: no cover - propagated below
+                batch_q.put(("error", exc, None, None, 0))
+            finally:
+                stats.decode_s += time.perf_counter() - t0
+
+        def encode_loop():
+            while True:
+                item = enc_q.get()
+                if item is None:
+                    return
+                yq, uq, vq, count = item
+                t0 = time.perf_counter()
+                try:
+                    for i in range(count):
+                        enc.write(yq[i], uq[i], vq[i])
+                        stats.frames_out += 1
+                        if total_est:
+                            progress(min(99, int(100 * stats.frames_out / total_est)))
+                except Exception as exc:
+                    enc_error.append(exc)
+                    return
+                finally:
+                    stats.encode_s += time.perf_counter() - t0
+
+        dec_thread = threading.Thread(target=decode_loop, daemon=True)
+        enc_thread = threading.Thread(target=encode_loop, daemon=True)
+        dec_thread.start()
+        enc_thread.start()
+
+        error: Optional[str] = None
+        try:
+            while True:
+                if cancel.is_set():
+                    break
+                kind, a, b, c, count = batch_q.get()
+                if kind == "eof":
+                    break
+                if kind == "error":
+                    error = f"decode failed: {a}"
+                    break
+                t0 = time.perf_counter()
+                yq, uq, vq = render_fn(a, b, c)
+                # device -> host (blocks until the batch is computed)
+                yq = np.asarray(yq)
+                uq = np.asarray(uq)
+                vq = np.asarray(vq)
+                stats.render_s += time.perf_counter() - t0
+                stats.batches += 1
+                # bounded put that won't deadlock if the encoder died
+                while True:
+                    if enc_error:
+                        error = f"encode failed: {enc_error[0]}"
+                        break
+                    try:
+                        enc_q.put((yq, uq, vq, count), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if error:
+                    break
+        finally:
+            cancel_set = cancel.is_set()
+            if cancel_set or error:
+                cancel.set()
+            # unblock and retire the decode thread (it may be blocked on put)
+            while dec_thread.is_alive():
+                try:
+                    while True:
+                        batch_q.get_nowait()
+                except queue.Empty:
+                    pass
+                dec_thread.join(timeout=0.5)
+            # retire the encode thread; only drop queued batches on failure
+            while True:
+                try:
+                    enc_q.put(None, timeout=1.0)
+                    break
+                except queue.Full:
+                    if not enc_thread.is_alive():
+                        break
+                    if cancel_set or error:
+                        try:
+                            enc_q.get_nowait()
+                        except queue.Empty:
+                            pass
+            enc_thread.join(timeout=60)
+            dec.close()
+
+        if enc_error and not error:
+            error = f"encode failed: {enc_error[0]}"
+        if error or cancel_set:
+            try:
+                enc._abort()
+            except Exception:
+                pass
+            stats.wall_s = time.perf_counter() - t_start
+            if cancel_set and not error:
+                return StageResult(ok=False, canceled=True, stats=stats)
+            return StageResult(ok=False, error=error or "canceled", stats=stats)
+
+        try:
+            enc.close()
+        except Exception as exc:
+            stats.wall_s = time.perf_counter() - t_start
+            return StageResult(ok=False, error=f"finalize failed: {exc}", stats=stats)
+
+        stats.wall_s = time.perf_counter() - t_start
+        progress(100)
+        log(f"engine: {stats.summary()}")
+        return StageResult(ok=True, stats=stats)
+    except Exception as exc:
+        stats.wall_s = time.perf_counter() - t_start
+        try:
+            dec.close()
+        except Exception:
+            pass
+        return StageResult(ok=False, error=str(exc), stats=stats)

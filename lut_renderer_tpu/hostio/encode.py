@@ -57,6 +57,53 @@ def bitrate_to_bits(value: Optional[str]) -> Optional[int]:
     return int(num * mul)
 
 
+def encoder_pix_fmts(codec_name: str) -> List[str]:
+    """Supported pixel formats of an encoder, preference order first.
+
+    Uses avcodec_get_supported_config (lavc 62 API); replaces the implicit
+    format negotiation FFmpeg's CLI performs when no -pix_fmt is given.
+    """
+    import ctypes as ct
+
+    ffi = get_ffi(verify=False)
+    enc = ffi.avcodec.avcodec_find_encoder_by_name(codec_name.encode())
+    if not enc:
+        return []
+    fn = ffi.avcodec.avcodec_get_supported_config
+    fn.argtypes = [c_void_p, c_void_p, ct.c_int, ct.c_uint,
+                   ct.POINTER(c_void_p), ct.POINTER(ct.c_int)]
+    fn.restype = ct.c_int
+    out = c_void_p(0)
+    count = ct.c_int(0)
+    # AV_CODEC_CONFIG_PIX_FORMAT == 0
+    if fn(None, enc, 0, 0, byref(out), byref(count)) < 0 or not out.value:
+        return []
+    arr = ct.cast(out.value, ct.POINTER(ct.c_int))
+    names = []
+    for i in range(count.value):
+        nm = ffi.pix_fmt_name(arr[i])
+        if nm:
+            names.append(nm)
+    return names
+
+
+def pick_encoder_pix_fmt(codec_name: str, depth: int, subsampling: str) -> Optional[str]:
+    """Choose the closest supported encoder format to (depth, subsampling);
+    falls back to the encoder's first/preferred format."""
+    fmts = encoder_pix_fmts(codec_name)
+    if not fmts:
+        return None
+    want = f"yuv{subsampling}p" + ("" if depth <= 8 else f"{depth}le")
+    if want in fmts:
+        return want
+    # same depth, any subsampling
+    tag = "" if depth <= 8 else f"{depth}le"
+    for f in fmts:
+        if f.startswith("yuv") and f.endswith("p" + tag if tag else "p"):
+            return f
+    return fmts[0]
+
+
 def list_encoders(candidates=None) -> List[str]:
     ffi = get_ffi(verify=False)
     names = candidates or [

@@ -61,12 +61,14 @@ def chroma_upsample_420(c, mode: str = "nearest"):
         return up
     if mode == "bilinear":
         # Smooth with a separable [1 3 3 1]/8-ish tent via simple neighbor mix
-        # on the upsampled grid (half-pel centered chroma siting).
-        padded = jnp.pad(up, [(1, 1), (1, 1)], mode="edge")
+        # on the upsampled grid (half-pel centered chroma siting). Pads only
+        # the trailing spatial axes so batched (B, H, W) inputs work.
+        pad_cfg = [(0, 0)] * (up.ndim - 2) + [(1, 1), (1, 1)]
+        padded = jnp.pad(up, pad_cfg, mode="edge")
         return (
             up * 0.5
-            + 0.125 * (padded[:-2, 1:-1] + padded[2:, 1:-1]
-                       + padded[1:-1, :-2] + padded[1:-1, 2:])
+            + 0.125 * (padded[..., :-2, 1:-1] + padded[..., 2:, 1:-1]
+                       + padded[..., 1:-1, :-2] + padded[..., 1:-1, 2:])
         )
     raise ValueError(f"unknown chroma upsample mode {mode!r}")
 

@@ -56,9 +56,16 @@ class RenderConfig:
     dither: str = "none"          # "none" | "ordered"
     chroma_up: str = "nearest"    # "nearest" | "bilinear"
     apply_lut: bool = True
+    # LUT kernel strategy: "mxu" (Pallas, production) or "gather" (XLA
+    # gather — slow on TPU but exact and CPU-friendly for tests).
+    lut_strategy: str = "mxu"
     # Requantize after range normalization to mimic the reference's 8-bit
     # intermediate `format=yuv420p` step (ffmpeg.py:233); parity knob.
     requantize_intermediate: bool = True
+    # Output resolution (w, h) when the policy carries `-s WxH`
+    # (ffmpeg.py:312-313); None keeps source size. Bilinear resize on the RGB
+    # planes after the LUT.
+    resize: Optional[Tuple[int, int]] = None
 
 
 def _upsample(u, v, subsampling: str, mode: str):
@@ -110,7 +117,18 @@ def render_yuv_frame(
 
     # 4. 3D LUT on the MXU
     if cfg.apply_lut and prep is not None:
-        r, g, b = apply_lut_planes(r, g, b, prep, cfg.interp, interpret=interpret)
+        r, g, b = apply_lut_planes(
+            r, g, b, prep, cfg.interp, strategy=cfg.lut_strategy,
+            interpret=interpret,
+        )
+
+    # 4b. optional resolution change (policy `-s`), bilinear in RGB
+    if cfg.resize is not None:
+        rw, rh = cfg.resize
+        tgt = r.shape[:-2] + (rh, rw)
+        r = jax.image.resize(r, tgt, method="linear")
+        g = jax.image.resize(g, tgt, method="linear")
+        b = jax.image.resize(b, tgt, method="linear")
 
     # 5. RGB -> YUV at output depth/range/matrix
     yo, uo, vo = rgb_to_yuv_planes_tpu(
@@ -131,12 +149,13 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
                    batched: bool = True, interpret: bool = False):
     """Build a jitted render function.
 
-    batched=True: operates on stacked planes (B, H, W) / (B, Hc, Wc) via vmap
-    over the frame axis — the unit the engine feeds per device step.
+    The pipeline is batch-polymorphic by construction (all planar ops work on
+    trailing (H, W) axes and the LUT kernel flattens pixels), so batched
+    (B, H, W) / (B, Hc, Wc) inputs flow through the SAME code path as single
+    frames — no vmap-over-pallas_call needed (which also sidesteps a Mosaic
+    batching lowering failure observed on the chip).
     """
+    del batched  # retained for API compatibility; shape-polymorphic anyway
     fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
                            interpret=interpret)
-    base = (lambda y, u, v: fn(y, u, v))
-    if batched:
-        base = jax.vmap(base)
-    return jax.jit(base)
+    return jax.jit(lambda y, u, v: fn(y, u, v))

@@ -1,0 +1,249 @@
+"""Engine tests: config derivation, frame scheduler, end-to-end stage runs.
+
+Stage runs use the XLA-gather LUT strategy on the CPU backend (the Pallas MXU
+path is covered by test_lut3d_op in interpret mode and by bench.py on the real
+chip) so these stay fast.
+"""
+
+import threading
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lut_renderer_tpu.colorcore import Lut3D, parse_cube_file, write_cube_file
+from lut_renderer_tpu.engine import FrameScheduler, run_stage
+from lut_renderer_tpu.engine.config import (
+    derive_render_config,
+    derive_encoder_settings,
+    effective_output_pix_fmt,
+    output_fps,
+    parse_pix_fmt,
+    parse_resolution,
+)
+from lut_renderer_tpu.hostio import probe_video, VideoDecoder
+from lut_renderer_tpu.hostio.decode import DecodedFrame
+from lut_renderer_tpu.models import ProcessingParams, VideoInfo
+from lut_renderer_tpu.ops import prepare_lut
+from lut_renderer_tpu.plan import build_render_spec
+from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+SRC = Path("/in/a.mov")
+OUT = Path("/out/a.mp4")
+LUT = Path("/l.cube")
+
+
+# ---- config derivation ------------------------------------------------------
+
+def test_parse_pix_fmt():
+    assert parse_pix_fmt("yuv420p") == (8, "420")
+    assert parse_pix_fmt("yuv422p10le") == (10, "422")
+    assert parse_pix_fmt("yuv444p") == (8, "444")
+    assert parse_pix_fmt(None) == (8, "420")
+
+
+def test_parse_resolution():
+    assert parse_resolution("1920x1080") == (1920, 1080)
+    assert parse_resolution("1280*720") == (1280, 720)
+    assert parse_resolution("") is None
+    assert parse_resolution("junk") is None
+
+
+def test_render_config_from_yuvj_source():
+    info = VideoInfo(pix_fmt="yuvj420p", bit_depth=8, colorspace="smpte170m")
+    spec = build_render_spec(SRC, OUT, ProcessingParams(), LUT, info)
+    cfg = derive_render_config(spec, info)
+    assert cfg.in_full_range and not cfg.work_full_range
+    assert cfg.matrix_in == "smpte170m"
+    assert cfg.matrix_out == "bt709"  # LUT output tags bt709
+    assert not cfg.out_full_range
+    assert cfg.apply_lut
+
+
+def test_render_config_10bit_preserve():
+    info = VideoInfo(pix_fmt="yuv422p10le", bit_depth=10)
+    spec = build_render_spec(
+        SRC, OUT, ProcessingParams(video_codec="prores_ks"), LUT, info
+    )
+    cfg = derive_render_config(spec, info)
+    assert cfg.in_depth == 10 and cfg.out_depth == 10
+    assert cfg.out_subsampling == "422"
+
+
+def test_render_config_dither():
+    info = VideoInfo(pix_fmt="yuv420p10le", bit_depth=10)
+    spec = build_render_spec(
+        SRC, OUT,
+        ProcessingParams(bit_depth_policy="force_8bit", zscale_dither="error_diffusion"),
+        LUT, info,
+    )
+    cfg = derive_render_config(spec, info)
+    assert cfg.dither == "ordered"
+    assert cfg.out_depth == 8
+
+
+def test_effective_pix_fmt_negotiation():
+    info = VideoInfo(pix_fmt="yuv420p", bit_depth=8)
+    spec = build_render_spec(
+        SRC, OUT, ProcessingParams(video_codec="prores_ks"), LUT, info
+    )
+    assert spec.pix_fmt is None
+    assert effective_output_pix_fmt(spec, info) == "yuv422p10le"
+
+
+def test_output_fps_ntsc_snap():
+    info = VideoInfo(fps=23.976)
+    spec = build_render_spec(SRC, OUT, ProcessingParams(), LUT, info)
+    assert output_fps(spec, info) == Fraction(24000, 1001)
+
+
+def test_encoder_settings_carry_tags_and_rates():
+    info = VideoInfo(fps=25.0, pix_fmt="yuv420p", bit_depth=8)
+    spec = build_render_spec(
+        SRC, OUT, ProcessingParams(bitrate="8M", video_codec="mpeg4"), LUT, info
+    )
+    s = derive_encoder_settings(spec, info, 320, 240)
+    assert s.bitrate == "8M" and s.maxrate == "8M" and s.bufsize == "16M"
+    assert s.gop == 25
+    assert s.color_primaries == "bt709" and s.color_range == "tv"
+    assert s.fps == Fraction(25)
+
+
+# ---- frame scheduler --------------------------------------------------------
+
+def _fake_frames(times):
+    for i, t in enumerate(times):
+        yield DecodedFrame(
+            index=i, pts=int(t * 1000), pts_seconds=t,
+            y=np.full((2, 2), i, np.uint8), u=np.zeros((1, 1), np.uint8),
+            v=np.zeros((1, 1), np.uint8), pix_fmt="yuv420p", bit_depth=8,
+            full_range_hint=False,
+        )
+
+
+def test_scheduler_passthrough():
+    frames = list(FrameScheduler("passthrough", Fraction(25)).schedule(
+        _fake_frames([0, 0.04, 0.08])
+    ))
+    assert [f.index for f in frames] == [0, 1, 2]
+
+
+def test_scheduler_cfr_duplicates_slow_input():
+    """10 fps input to 20 fps output: each frame roughly doubled."""
+    out = list(FrameScheduler("cfr", Fraction(20)).schedule(
+        _fake_frames([0.0, 0.1, 0.2, 0.3])
+    ))
+    assert len(out) in (6, 7, 8)
+    idx = [f.index for f in out]
+    assert idx == sorted(idx)
+    assert max(idx.count(i) for i in set(idx)) >= 2
+
+
+def test_scheduler_cfr_drops_fast_input():
+    """50 fps input to 25 fps output: about half the frames survive."""
+    times = [i / 50 for i in range(20)]
+    out = list(FrameScheduler("cfr", Fraction(25)).schedule(_fake_frames(times)))
+    assert 9 <= len(out) <= 12
+    idx = [f.index for f in out]
+    assert idx == sorted(idx) and len(set(idx)) == len(idx)
+
+
+# ---- end-to-end stage runs (CPU, gather strategy) ---------------------------
+
+@pytest.fixture(scope="module")
+def small_clip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("engine")
+    return make_gradient_clip(d / "c.mp4", 64, 64, fps=25.0, frames=10)
+
+
+@pytest.fixture(scope="module")
+def warm_lut(tmp_path_factory):
+    d = tmp_path_factory.mktemp("luts")
+    ident = Lut3D.identity(9)
+    warm = ident.table.copy()
+    warm[..., 0] = np.clip(warm[..., 0] * 1.2, 0, 1)
+    return write_cube_file(d / "warm.cube", Lut3D(table=warm, title="warm"))
+
+
+def test_stage_end_to_end(small_clip, warm_lut, tmp_path):
+    info = probe_video(small_clip)
+    prep = prepare_lut(parse_cube_file(warm_lut))
+    out = tmp_path / "out.mov"
+    spec = build_render_spec(
+        Path(small_clip), out,
+        ProcessingParams(video_codec="prores_ks", profile="3"),
+        Path(warm_lut), info,
+    )
+    progs, logs = [], []
+    res = run_stage(spec, info, prep, progress_cb=progs.append,
+                    log_cb=logs.append, lut_strategy="gather")
+    assert res.ok, res.error
+    assert progs[-1] == 100
+    assert res.stats.frames_out == 10
+    oinfo = probe_video(out)
+    assert oinfo.codec_name == "prores"
+    assert oinfo.nb_frames == 10
+    assert oinfo.color_range == "tv"
+    # red boost visible in the V plane
+    with VideoDecoder(small_clip) as d:
+        fin = d.read_frame()
+    with VideoDecoder(out) as d:
+        fout = d.read_frame()
+    assert fout.v.astype(float).mean() / 4 > fin.v.astype(float).mean() + 2
+
+
+def test_stage_no_lut_passthrough_quality(small_clip, tmp_path):
+    info = probe_video(small_clip)
+    out = tmp_path / "nolut.mov"
+    spec = build_render_spec(
+        Path(small_clip), out, ProcessingParams(video_codec="prores_ks"),
+        None, info,
+    )
+    res = run_stage(spec, info, None)
+    assert res.ok, res.error
+    with VideoDecoder(small_clip) as d:
+        fin = d.read_frame()
+    with VideoDecoder(out) as d:
+        fout = d.read_frame()
+    dy = np.abs(fout.y.astype(float) / 4 - fin.y.astype(float))
+    assert float(np.median(dy)) <= 1.5
+
+
+def test_stage_cancel(small_clip, warm_lut, tmp_path):
+    info = probe_video(small_clip)
+    prep = prepare_lut(parse_cube_file(warm_lut))
+    out = tmp_path / "cancel.mov"
+    spec = build_render_spec(
+        Path(small_clip), out,
+        ProcessingParams(video_codec="prores_ks"), Path(warm_lut), info,
+    )
+    ev = threading.Event()
+    ev.set()  # cancel before the first batch
+    res = run_stage(spec, info, prep, cancel=ev, lut_strategy="gather")
+    assert not res.ok and res.canceled
+
+
+def test_stage_bad_encoder(small_clip, warm_lut, tmp_path):
+    info = probe_video(small_clip)
+    spec = build_render_spec(
+        Path(small_clip), tmp_path / "x.mp4",
+        ProcessingParams(video_codec="libx264"), None, info,
+    )
+    res = run_stage(spec, info, None)
+    assert not res.ok
+    assert "encoder" in res.error
+
+
+def test_stage_resize(small_clip, tmp_path):
+    info = probe_video(small_clip)
+    out = tmp_path / "resized.mov"
+    spec = build_render_spec(
+        Path(small_clip), out,
+        ProcessingParams(video_codec="prores_ks", resolution="32x32"),
+        None, info,
+    )
+    res = run_stage(spec, info, None)
+    assert res.ok, res.error
+    oinfo = probe_video(out)
+    assert (oinfo.width, oinfo.height) == (32, 32)
