@@ -1,0 +1,313 @@
+"""lut-tpu — headless CLI over the full framework.
+
+The interactive surface of the rebuild (the reference's Qt window is not part
+of the pixel path; SURVEY.md §7.7). Subcommands:
+
+  render    queue files through the TPU pipeline (fast or pro mode)
+  probe     print probe info for files (ffprobe-replacement output)
+  presets   list / show / save / delete / rename parameter presets
+  luts      show / clean the LUT history
+  encoders  list encoders available in the bundled libraries
+  thumb     generate a cached thumbnail for a file
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+from ..models import ProcessingParams
+from . import (
+    cleanup_lut_history,
+    ensure_thumbnail,
+    lut_history,
+    remember_lut,
+)
+from . import presets as presets_mod
+from .defaults import mode_template
+from .taskfactory import create_tasks
+
+
+def _add_param_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", choices=["fast", "pro"], default="fast",
+                   help="fast delivery or two-stage pro mastering")
+    p.add_argument("--preset-name", help="load a saved preset as the base")
+    p.add_argument("--codec", dest="video_codec")
+    p.add_argument("--audio-codec", dest="audio_codec")
+    p.add_argument("--pix-fmt", dest="pix_fmt")
+    p.add_argument("--resolution")
+    p.add_argument("--bitrate")
+    p.add_argument("--fps")
+    p.add_argument("--crf")
+    p.add_argument("--enc-preset", dest="preset")
+    p.add_argument("--tune")
+    p.add_argument("--gop")
+    p.add_argument("--enc-profile", dest="profile")
+    p.add_argument("--level")
+    p.add_argument("--threads")
+    p.add_argument("--audio-bitrate", dest="audio_bitrate")
+    p.add_argument("--sample-rate", dest="sample_rate")
+    p.add_argument("--channels")
+    p.add_argument("--faststart", action="store_true", default=None)
+    p.add_argument("--cover", action="store_true", default=None,
+                   help="extract a cover JPEG next to the output")
+    p.add_argument("--bit-depth", dest="bit_depth_policy",
+                   choices=["preserve", "auto", "force_8bit"])
+    p.add_argument("--no-force-cfr", action="store_true",
+                   help="don't force CFR for VFR sources")
+    p.add_argument("--no-inherit-metadata", action="store_true")
+    p.add_argument("--interp",
+                   choices=["nearest", "trilinear", "tetrahedral",
+                            "pyramid", "prism", "cubic"])
+    p.add_argument("--dither", dest="zscale_dither",
+                   choices=["none", "error_diffusion"])
+    p.add_argument("--input-matrix", dest="lut_input_matrix")
+    p.add_argument("--output-tags", dest="lut_output_tags",
+                   choices=["bt709", "inherit", "none"])
+
+
+def _params_from_args(args) -> ProcessingParams:
+    if args.preset_name:
+        base = presets_mod.load_preset(args.preset_name)
+        base.processing_mode = args.mode
+    else:
+        base = mode_template(args.mode)
+    mapping = {
+        "video_codec": args.video_codec,
+        "audio_codec": args.audio_codec,
+        "pix_fmt": args.pix_fmt,
+        "resolution": args.resolution,
+        "bitrate": args.bitrate,
+        "fps": args.fps,
+        "crf": args.crf,
+        "preset": args.preset,
+        "tune": args.tune,
+        "gop": args.gop,
+        "profile": args.profile,
+        "level": args.level,
+        "threads": args.threads,
+        "audio_bitrate": args.audio_bitrate,
+        "sample_rate": args.sample_rate,
+        "channels": args.channels,
+        "bit_depth_policy": args.bit_depth_policy,
+        "lut_interp": args.interp,
+        "zscale_dither": args.zscale_dither,
+        "lut_input_matrix": args.lut_input_matrix,
+        "lut_output_tags": args.lut_output_tags,
+    }
+    for attr, value in mapping.items():
+        if value is not None:
+            setattr(base, attr, value)
+    if args.faststart is not None:
+        base.faststart = args.faststart
+    if args.cover is not None:
+        base.generate_cover = args.cover
+    if args.no_force_cfr:
+        base.force_cfr = False
+    if args.no_inherit_metadata:
+        base.inherit_color_metadata = False
+    return base
+
+
+def cmd_render(args) -> int:
+    from ..tasks import TaskManager
+
+    params = _params_from_args(args)
+    lut = Path(args.lut) if args.lut else None
+    if lut and not lut.exists():
+        print(f"error: LUT not found: {lut}", file=sys.stderr)
+        return 2
+    try:
+        batch = create_tasks(
+            [Path(p) for p in args.files],
+            params,
+            lut_path=lut,
+            out_dir=Path(args.out_dir) if args.out_dir else None,
+            master_dir=Path(args.master_dir) if args.master_dir else None,
+        )
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    for line in batch.logs:
+        print(line)
+    for warning in batch.warnings:
+        print(f"warning: {warning}", file=sys.stderr)
+    if not batch.tasks:
+        return 2
+    if lut:
+        remember_lut(lut)
+
+    manager = TaskManager(max_concurrency=args.concurrency,
+                          lut_strategy=args.lut_strategy)
+    names = {}
+    for task in batch.tasks:
+        names[task.task_id] = task.display_name()
+        manager.add_task(task)
+
+    def on_log(task_id, message):
+        stamp = time.strftime("%H:%M:%S")
+        print(f"[{stamp}] [{names.get(task_id, task_id)[:24]}] {message}")
+
+    def on_progress(task_id, pct):
+        if args.progress:
+            print(f"[{names.get(task_id, task_id)[:24]}] {pct}%", flush=True)
+
+    manager.task_log.connect(on_log)
+    manager.task_progress.connect(on_progress)
+    manager.start_all()
+    manager.wait_all()
+
+    failed = [t for t in manager.tasks.values() if t.status.value == "failed"]
+    done = [t for t in manager.tasks.values() if t.status.value == "completed"]
+    print(f"queue finished: {len(done)} completed, {len(failed)} failed")
+    for t in failed:
+        print(f"  FAILED {t.display_name()}: {t.error}", file=sys.stderr)
+    for t in done:
+        print(f"  OK {t.display_name()} -> {t.output_path}")
+    return 1 if failed else 0
+
+
+def cmd_probe(args) -> int:
+    from ..hostio import probe_video
+
+    status = 0
+    for f in args.files:
+        try:
+            info = probe_video(Path(f))
+        except Exception as exc:
+            print(f"{f}: error: {exc}", file=sys.stderr)
+            status = 1
+            continue
+        if args.json:
+            print(json.dumps({
+                k: v for k, v in dataclasses.asdict(info).items() if v is not None
+            }, default=str))
+        else:
+            print(f"{f}:")
+            print(f"  video: {info.codec_name} {info.resolution} "
+                  f"{info.pix_fmt} {info.bit_depth}bit "
+                  f"{info.fps if info.fps else '?'}fps"
+                  f"{' VFR' if info.is_vfr else ''}")
+            print(f"  color: matrix={info.colorspace} primaries="
+                  f"{info.color_primaries} trc={info.color_trc} "
+                  f"range={info.color_range}")
+            print(f"  duration: {info.duration}s  bitrate: {info.bitrate}  "
+                  f"frames: {info.nb_frames}")
+            if info.audio_codec:
+                print(f"  audio: {info.audio_codec} "
+                      f"{info.audio_sample_rate}Hz ch={info.audio_channels} "
+                      f"{info.audio_bitrate}")
+    return status
+
+
+def cmd_presets(args) -> int:
+    if args.action == "list":
+        for name in presets_mod.list_presets():
+            print(name)
+    elif args.action == "show":
+        print(json.dumps(presets_mod.load_preset(args.name).to_dict(), indent=2))
+    elif args.action == "save":
+        params = ProcessingParams.from_dict(json.loads(args.params_json or "{}"))
+        try:
+            presets_mod.save_preset(args.name, params)
+        except FileExistsError:
+            if args.force:
+                presets_mod.overwrite_preset(args.name, params)
+            else:
+                print(f"error: preset exists (use --force): {args.name}",
+                      file=sys.stderr)
+                return 2
+        print(f"saved {args.name}")
+    elif args.action == "delete":
+        presets_mod.delete_preset(args.name)
+    elif args.action == "rename":
+        presets_mod.rename_preset(args.name, args.new_name)
+    return 0
+
+
+def cmd_luts(args) -> int:
+    if args.action == "clean":
+        cleanup_lut_history()
+    for i, path in enumerate(lut_history()):
+        mark = "*" if i == 0 else " "
+        print(f"{mark} {path}")
+    return 0
+
+
+def cmd_encoders(args) -> int:
+    from ..hostio import list_encoders
+
+    for name in list_encoders():
+        print(name)
+    return 0
+
+
+def cmd_thumb(args) -> int:
+    out = ensure_thumbnail(Path(args.file), width=args.width)
+    if out is None:
+        print("error: could not generate thumbnail", file=sys.stderr)
+        return 1
+    print(out)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lut-tpu",
+        description="TPU-native batch video 3D-LUT processor",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    render = sub.add_parser("render", help="process files through the pipeline")
+    render.add_argument("files", nargs="+")
+    render.add_argument("--lut", help=".cube LUT to apply")
+    render.add_argument("--out-dir", help="output dir (default <src>/output)")
+    render.add_argument("--master-dir", help="pro-mode master cache dir")
+    render.add_argument("--concurrency", type=int, default=1,
+                        help="parallel tasks (1-16, default 1)")
+    render.add_argument("--progress", action="store_true")
+    render.add_argument("--lut-strategy", choices=["mxu", "gather"],
+                        default="mxu", help=argparse.SUPPRESS)
+    _add_param_flags(render)
+    render.set_defaults(fn=cmd_render)
+
+    probe = sub.add_parser("probe", help="print media info")
+    probe.add_argument("files", nargs="+")
+    probe.add_argument("--json", action="store_true")
+    probe.set_defaults(fn=cmd_probe)
+
+    presets = sub.add_parser("presets", help="manage presets")
+    presets.add_argument("action",
+                         choices=["list", "show", "save", "delete", "rename"])
+    presets.add_argument("name", nargs="?")
+    presets.add_argument("new_name", nargs="?")
+    presets.add_argument("--params-json")
+    presets.add_argument("--force", action="store_true")
+    presets.set_defaults(fn=cmd_presets)
+
+    luts = sub.add_parser("luts", help="LUT history")
+    luts.add_argument("action", nargs="?", default="list",
+                      choices=["list", "clean"])
+    luts.set_defaults(fn=cmd_luts)
+
+    encoders = sub.add_parser("encoders", help="list available encoders")
+    encoders.set_defaults(fn=cmd_encoders)
+
+    thumb = sub.add_parser("thumb", help="generate a thumbnail")
+    thumb.add_argument("file")
+    thumb.add_argument("--width", type=int, default=160)
+    thumb.set_defaults(fn=cmd_thumb)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,6 +162,10 @@ def _probe_ffi(path: Path) -> VideoInfo:
                 info.level = str(lvl)
             bprs = _r_i32(par, OFF["par_bits_per_raw_sample"])
             info.bit_depth = infer_bit_depth(pix, bprs if bprs > 0 else None)
+            if info.bit_depth is None and pix and pix.startswith(("yuv", "nv", "gray", "rgb", "bgr")):
+                # plain 8-bit formats carry no digit suffix and codecs often
+                # leave bits_per_raw_sample unset (ffprobe prints 8 there too)
+                info.bit_depth = 8
             info.bitrate = kbps_string(_r_i64(par, OFF["par_bit_rate"]))
 
             sar = _r_rational(st, OFF["st_sar"])

@@ -1,0 +1,255 @@
+"""app-layer tests: naming, presets, settings, history, estimates, defaults,
+task factory, CLI parser."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import lut_renderer_tpu.app.settings as settings_mod
+from lut_renderer_tpu.app import (
+    apply_smart_defaults,
+    collect_video_files,
+    cover_path_for,
+    default_output_dir,
+    estimate_prores_bytes,
+    intermediate_path_for,
+    load_settings,
+    mode_template,
+    output_path_for,
+    save_settings,
+)
+from lut_renderer_tpu.app import lut_history as hist_list  # noqa: F401
+from lut_renderer_tpu.app.cli import build_parser, main as cli_main
+from lut_renderer_tpu.app.lut_history import cleanup_lut_history, last_lut, lut_history, remember_lut
+from lut_renderer_tpu.app import presets as presets_mod
+from lut_renderer_tpu.app.taskfactory import create_tasks
+from lut_renderer_tpu.models import ProcessingParams, VideoInfo
+
+
+@pytest.fixture(autouse=True)
+def isolated_config(tmp_path, monkeypatch):
+    monkeypatch.setattr(settings_mod, "_config_root", lambda: tmp_path / "cfg")
+    yield
+
+
+# ---- naming -----------------------------------------------------------------
+
+def test_collect_video_files(tmp_path):
+    (tmp_path / "a.mp4").touch()
+    (tmp_path / "b.txt").touch()
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "c.MOV").touch()
+    (sub / "d.webm").touch()
+    files = collect_video_files([tmp_path, tmp_path / "a.mp4"])
+    names = [f.name for f in files]
+    assert "a.mp4" in names and "c.MOV" in names and "d.webm" in names
+    assert "b.txt" not in names
+    assert len(names) == len(set(names))  # deduped
+
+
+def test_output_naming_collision(tmp_path):
+    src = tmp_path / "clip.mp4"
+    src.touch()
+    out1 = output_path_for(src, tmp_path)
+    assert out1.name == "clip_out.mp4"
+    out1.touch()
+    out2 = output_path_for(src, tmp_path)
+    assert out2.name == "clip_out_1.mp4"
+    out2.touch()
+    assert output_path_for(src, tmp_path).name == "clip_out_2.mp4"
+
+
+def test_cover_and_master_naming(tmp_path):
+    src = tmp_path / "x.mov"
+    assert cover_path_for(src, tmp_path).name == "x_cover.jpg"
+    assert intermediate_path_for(src, tmp_path).name == "x_master.mov"
+
+
+def test_default_output_dir(tmp_path):
+    src = tmp_path / "v.mp4"
+    out = default_output_dir(src)
+    assert out == tmp_path / "output" and out.is_dir()
+
+
+# ---- estimate ---------------------------------------------------------------
+
+def test_prores_estimate_1080p30():
+    info = VideoInfo(width=1920, height=1080, fps=29.97, duration=10.0)
+    est = estimate_prores_bytes(info)
+    assert abs(est - 220e6 / 8 * 10) / est < 0.01
+
+
+def test_prores_estimate_floor():
+    info = VideoInfo(width=64, height=64, fps=10, duration=10.0)
+    est = estimate_prores_bytes(info)
+    assert est == int(0.1 * 220e6 / 8 * 10)
+
+
+def test_prores_estimate_no_duration():
+    assert estimate_prores_bytes(VideoInfo(width=100, height=100)) is None
+
+
+# ---- settings / presets / history ------------------------------------------
+
+def test_settings_roundtrip_and_corrupt():
+    save_settings({"ui_theme": "dark", "lut_history": ["/a"]})
+    assert load_settings()["ui_theme"] == "dark"
+    settings_mod.settings_path().write_text("{corrupt", encoding="utf-8")
+    assert load_settings() == {}
+
+
+def test_presets_lifecycle():
+    p = ProcessingParams(bitrate="9M")
+    presets_mod.save_preset("web", p)
+    assert presets_mod.list_presets() == ["web"]
+    assert presets_mod.load_preset("web").bitrate == "9M"
+    with pytest.raises(FileExistsError):
+        presets_mod.save_preset("web", p)
+    presets_mod.overwrite_preset("web", ProcessingParams(bitrate="4M"))
+    assert presets_mod.load_preset("web").bitrate == "4M"
+    presets_mod.rename_preset("web", "tv")
+    assert presets_mod.list_presets() == ["tv"]
+    with pytest.raises(FileNotFoundError):
+        presets_mod.load_preset("web")
+    presets_mod.delete_preset("tv")
+    assert presets_mod.list_presets() == []
+
+
+def test_presets_load_all_skips_corrupt():
+    presets_mod.save_preset("good", ProcessingParams())
+    (presets_mod.presets_dir() / "bad.json").write_text("{", encoding="utf-8")
+    all_p = presets_mod.load_all_presets()
+    assert "good" in all_p and "bad" not in all_p
+
+
+def test_lut_history(tmp_path):
+    a = tmp_path / "a.cube"
+    b = tmp_path / "b.cube"
+    a.touch()
+    b.touch()
+    remember_lut(a)
+    remember_lut(b)
+    assert lut_history()[0] == str(b)
+    remember_lut(a)  # moves to head
+    assert lut_history()[0] == str(a) and len(lut_history()) == 2
+    assert last_lut() == str(a)
+    b.unlink()
+    cleanup_lut_history()
+    assert lut_history() == [str(a)]
+
+
+# ---- defaults ---------------------------------------------------------------
+
+def test_smart_defaults_fill_from_probe():
+    info = VideoInfo(width=1920, height=1080, bitrate="8000k")
+    p = apply_smart_defaults(ProcessingParams(video_codec="mpeg4"), info)
+    assert p.resolution == "1920x1080" and p.bitrate == "8000k"
+
+
+def test_smart_defaults_respect_explicit():
+    info = VideoInfo(width=1920, height=1080, bitrate="8000k")
+    p = apply_smart_defaults(
+        ProcessingParams(video_codec="mpeg4", resolution="1280x720"), info
+    )
+    assert p.resolution == "1280x720"
+
+
+def test_smart_defaults_copy_codec_untouched():
+    info = VideoInfo(width=1920, height=1080, bitrate="8000k")
+    p = apply_smart_defaults(ProcessingParams(video_codec="copy"), info)
+    assert p.resolution == "" and p.bitrate == ""
+
+
+def test_copy_plus_lut_autoswitch():
+    p = apply_smart_defaults(
+        ProcessingParams(video_codec="copy"), None, lut_active=True
+    )
+    assert p.video_codec != "copy"
+
+
+def test_mode_templates():
+    fast = mode_template("fast")
+    pro = mode_template("pro")
+    assert fast.processing_mode == "fast"
+    assert pro.processing_mode == "pro" and pro.faststart
+    assert fast.video_codec  # resolved to something available
+
+
+# ---- task factory -----------------------------------------------------------
+
+def _fake_probe(path):
+    return VideoInfo(width=320, height=240, fps=25.0, duration=2.0,
+                     bitrate="500k", pix_fmt="yuv420p", bit_depth=8)
+
+
+def test_create_tasks_fast(tmp_path):
+    src = tmp_path / "v.mp4"
+    src.touch()
+    batch = create_tasks([src], ProcessingParams(video_codec="mpeg4"),
+                         probe_fn=_fake_probe)
+    assert len(batch.tasks) == 1
+    t = batch.tasks[0]
+    assert t.output_path.parent == tmp_path / "output"
+    assert t.params.resolution == "320x240"  # smart default applied
+    assert t.intermediate_path is None
+
+
+def test_create_tasks_pro_requires_master_dir(tmp_path):
+    src = tmp_path / "v.mp4"
+    src.touch()
+    with pytest.raises(ValueError):
+        create_tasks([src], ProcessingParams(processing_mode="pro"),
+                     probe_fn=_fake_probe)
+
+
+def test_create_tasks_pro(tmp_path):
+    src = tmp_path / "v.mp4"
+    src.touch()
+    master = tmp_path / "masters"
+    master.mkdir()
+    batch = create_tasks(
+        [src], ProcessingParams(processing_mode="pro", video_codec="mpeg4"),
+        master_dir=master, probe_fn=_fake_probe,
+    )
+    t = batch.tasks[0]
+    assert t.intermediate_path.name == "v_master.mov"
+    assert any("estimated ProRes master" in m for m in batch.logs)
+
+
+def test_create_tasks_none_found(tmp_path):
+    batch = create_tasks([tmp_path], ProcessingParams(), probe_fn=_fake_probe)
+    assert not batch.tasks and batch.warnings
+
+
+# ---- CLI parser -------------------------------------------------------------
+
+def test_cli_parser_render_flags():
+    p = build_parser()
+    args = p.parse_args([
+        "render", "a.mp4", "--lut", "x.cube", "--mode", "pro",
+        "--master-dir", "/tmp/m", "--bitrate", "10M", "--interp", "trilinear",
+        "--bit-depth", "force_8bit", "--dither", "error_diffusion",
+    ])
+    assert args.command == "render" and args.mode == "pro"
+    assert args.zscale_dither == "error_diffusion"
+
+
+def test_cli_presets_roundtrip(capsys):
+    rc = cli_main(["presets", "save", "x", "--params-json",
+                   json.dumps({"bitrate": "3M"})])
+    assert rc == 0
+    rc = cli_main(["presets", "list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "x" in out
+    rc = cli_main(["presets", "show", "x"])
+    assert "3M" in capsys.readouterr().out
+    assert cli_main(["presets", "save", "x", "--params-json", "{}"]) == 2
+
+
+def test_cli_encoders(capsys):
+    assert cli_main(["encoders"]) == 0
+    assert "prores_ks" in capsys.readouterr().out
