@@ -12,11 +12,12 @@ from pathlib import Path
 from typing import Dict, List
 
 from ..models import ProcessingParams
-from .settings import _config_root
+from . import settings as _settings
 
 
 def presets_dir() -> Path:
-    path = _config_root() / "presets"
+    # late-bound module attribute so tests can redirect the config root
+    path = _settings._config_root() / "presets"
     path.mkdir(parents=True, exist_ok=True)
     return path
 
