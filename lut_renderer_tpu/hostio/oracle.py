@@ -1,0 +1,266 @@
+"""FFmpeg `lut3d` oracle: runs the reference's actual pixel engine in-process.
+
+The reference applies LUTs exclusively through FFmpeg's lut3d filter
+(src/lut_renderer/ffmpeg.py:242-247). This module drives that exact C
+implementation from the bundled libavfilter via a buffer -> lut3d ->
+buffersink graph, for two purposes:
+
+  * parity: max dE76 between the TPU kernel and lut3d is the headline
+    correctness metric (BASELINE.md) — measured on float planes (gbrpf32)
+    so quantization doesn't mask kernel differences;
+  * baseline: lut3d's single-core throughput on this host is the measured
+    "FFmpeg-CPU" number the >=5x target is defined against (rgb48le, the
+    format FFmpeg actually uses for 8/10-bit video through lut3d).
+"""
+
+from __future__ import annotations
+
+import time
+from ctypes import POINTER, byref, c_char_p, c_int, c_void_p, memmove
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .ffi import (
+    AVERROR_EAGAIN,
+    MediaError,
+    OFF,
+    _r_i32,
+    _r_i64,
+    _r_ptr,
+    _w_i32,
+    _w_i64,
+    get_ffi,
+)
+
+
+class Lut3DOracle:
+    """One configured lut3d filter graph, reusable across frames."""
+
+    def __init__(self, cube_path, interp: str = "tetrahedral",
+                 pix_fmt: str = "gbrpf32le", width: int = 256,
+                 height: int = 256):
+        self.ffi = get_ffi()
+        ffi = self.ffi
+        af = ffi.avfilter
+        af.avfilter_graph_alloc.restype = c_void_p
+        af.avfilter_get_by_name.restype = c_void_p
+        af.avfilter_get_by_name.argtypes = [c_char_p]
+        af.avfilter_graph_create_filter.argtypes = [
+            POINTER(c_void_p), c_void_p, c_char_p, c_char_p, c_void_p, c_void_p,
+        ]
+        af.avfilter_graph_create_filter.restype = c_int
+        af.avfilter_link.argtypes = [c_void_p, c_int, c_void_p, c_int]
+        af.avfilter_link.restype = c_int
+        af.avfilter_graph_config.argtypes = [c_void_p, c_void_p]
+        af.avfilter_graph_config.restype = c_int
+        af.av_buffersrc_add_frame_flags.argtypes = [c_void_p, c_void_p, c_int]
+        af.av_buffersrc_add_frame_flags.restype = c_int
+        af.av_buffersink_get_frame.argtypes = [c_void_p, c_void_p]
+        af.av_buffersink_get_frame.restype = c_int
+        af.avfilter_graph_free.argtypes = [POINTER(c_void_p)]
+
+        self.width = width
+        self.height = height
+        self.pix_fmt = pix_fmt
+        self.fmt_id = ffi.pix_fmt_id(pix_fmt)
+        if self.fmt_id < 0:
+            raise MediaError(f"unknown pix_fmt {pix_fmt}")
+
+        self._graph = c_void_p(af.avfilter_graph_alloc())
+        if not self._graph.value:
+            raise MediaError("avfilter_graph_alloc failed")
+        try:
+            buf = af.avfilter_get_by_name(b"buffer")
+            sink = af.avfilter_get_by_name(b"buffersink")
+            lut3d = af.avfilter_get_by_name(b"lut3d")
+            if not (buf and sink and lut3d):
+                raise MediaError("buffer/buffersink/lut3d filters missing")
+
+            self._src = c_void_p(0)
+            args = (
+                f"video_size={width}x{height}:pix_fmt={self.fmt_id}:"
+                f"time_base=1/25:pixel_aspect=1/1"
+            ).encode()
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._src), c_void_p(buf), b"in", args, None, self._graph
+                ),
+                "create buffer source",
+            )
+            self._lut = c_void_p(0)
+            escaped = str(Path(cube_path)).replace("\\", "\\\\").replace("'", "\\'")
+            largs = f"file='{escaped}':interp={interp}".encode()
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._lut), c_void_p(lut3d), b"lut", largs, None, self._graph
+                ),
+                "create lut3d",
+            )
+            self._sink = c_void_p(0)
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._sink), c_void_p(sink), b"out", None, None, self._graph
+                ),
+                "create buffersink",
+            )
+            ffi.check(af.avfilter_link(self._src, 0, self._lut, 0), "link src->lut")
+            ffi.check(af.avfilter_link(self._lut, 0, self._sink, 0), "link lut->sink")
+            ffi.check(af.avfilter_graph_config(self._graph, None), "graph_config")
+
+            self._frm = ffi.avutil.av_frame_alloc()
+            _w_i32(self._frm, OFF["frame_width"], width)
+            _w_i32(self._frm, OFF["frame_height"], height)
+            _w_i32(self._frm, OFF["frame_format"], self.fmt_id)
+            ffi.check(
+                ffi.avutil.av_frame_get_buffer(c_void_p(self._frm), 0),
+                "frame_get_buffer",
+            )
+            self._out = ffi.avutil.av_frame_alloc()
+            self._pts = 0
+        except Exception:
+            af.avfilter_graph_free(byref(self._graph))
+            raise
+
+    # ------------------------------------------------------------------
+    def _fill_and_run(self, fill_fn, read_fn):
+        ffi = self.ffi
+        ffi.check(
+            ffi.avutil.av_frame_make_writable(c_void_p(self._frm)),
+            "frame_make_writable",
+        )
+        fill_fn(self._frm)
+        _w_i64(self._frm, OFF["frame_pts"], self._pts)
+        self._pts += 1
+        # AV_BUFFERSRC_FLAG_KEEP_REF = 8 (keep our reusable input frame)
+        ffi.check(
+            ffi.avfilter.av_buffersrc_add_frame_flags(
+                self._src, c_void_p(self._frm), 8
+            ),
+            "buffersrc_add_frame",
+        )
+        r = ffi.avfilter.av_buffersink_get_frame(self._sink, c_void_p(self._out))
+        if r == AVERROR_EAGAIN:
+            raise MediaError("lut3d produced no frame")
+        ffi.check(r, "buffersink_get_frame")
+        try:
+            return read_fn(self._out)
+        finally:
+            ffi.avutil.av_frame_unref(c_void_p(self._out))
+
+    def apply_rgb_float(self, rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) float32 in [0,1] -> lut3d output, via gbrpf32 planes."""
+        h, w = rgb.shape[:2]
+        assert (h, w) == (self.height, self.width)
+        assert self.pix_fmt.startswith("gbrpf32")
+        planes = {
+            0: np.ascontiguousarray(rgb[..., 1], np.float32),  # G
+            1: np.ascontiguousarray(rgb[..., 2], np.float32),  # B
+            2: np.ascontiguousarray(rgb[..., 0], np.float32),  # R
+        }
+
+        def fill(frm):
+            for i, arr in planes.items():
+                data = _r_ptr(frm, OFF["frame_data"] + 8 * i)
+                ls = _r_i32(frm, OFF["frame_linesize"] + 4 * i)
+                row = w * 4
+                if ls == row:
+                    memmove(data, arr.ctypes.data, row * h)
+                else:
+                    for r_ in range(h):
+                        memmove(data + r_ * ls, arr.ctypes.data + r_ * row, row)
+
+        def read(frm):
+            out = np.empty((h, w, 3), np.float32)
+            order = {0: 1, 1: 2, 2: 0}  # plane idx -> rgb channel
+            for i, ch in order.items():
+                data = _r_ptr(frm, OFF["frame_data"] + 8 * i)
+                ls = _r_i32(frm, OFF["frame_linesize"] + 4 * i)
+                plane = np.empty((h, w), np.float32)
+                row = w * 4
+                if ls == row:
+                    memmove(plane.ctypes.data, data, row * h)
+                else:
+                    for r_ in range(h):
+                        memmove(plane.ctypes.data + r_ * row, data + r_ * ls, row)
+                out[..., ch] = plane
+            return out
+
+        return self._fill_and_run(fill, read)
+
+    def apply_rgb48(self, rgb16: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint16 -> lut3d output (rgb48le packed), the realistic
+        8/10-bit video path; used for throughput measurement."""
+        h, w = rgb16.shape[:2]
+        assert self.pix_fmt == "rgb48le"
+        packed = np.ascontiguousarray(rgb16, np.uint16)
+
+        def fill(frm):
+            data = _r_ptr(frm, OFF["frame_data"])
+            ls = _r_i32(frm, OFF["frame_linesize"])
+            row = w * 6
+            if ls == row:
+                memmove(data, packed.ctypes.data, row * h)
+            else:
+                for r_ in range(h):
+                    memmove(data + r_ * ls, packed.ctypes.data + r_ * row, row)
+
+        def read(frm):
+            out = np.empty((h, w, 3), np.uint16)
+            data = _r_ptr(frm, OFF["frame_data"])
+            ls = _r_i32(frm, OFF["frame_linesize"])
+            row = w * 6
+            if ls == row:
+                memmove(out.ctypes.data, data, row * h)
+            else:
+                for r_ in range(h):
+                    memmove(out.ctypes.data + r_ * row, data + r_ * ls, row)
+            return out
+
+        return self._fill_and_run(fill, read)
+
+    def close(self):
+        if getattr(self, "_graph", None) and self._graph.value:
+            if getattr(self, "_frm", None):
+                p = c_void_p(self._frm)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._frm = None
+            if getattr(self, "_out", None):
+                p = c_void_p(self._out)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._out = None
+            self.ffi.avfilter.avfilter_graph_free(byref(self._graph))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def measure_cpu_lut3d_fps(
+    cube_path,
+    interp: str = "tetrahedral",
+    width: int = 3840,
+    height: int = 2160,
+    frames: int = 8,
+    seed: int = 0,
+) -> float:
+    """Measured frames/sec of FFmpeg's own lut3d on this host's CPU
+    (rgb48 path). This is the denominator of the >=5x north star."""
+    rng = np.random.default_rng(seed)
+    rgb16 = rng.integers(0, 65536, (height, width, 3), dtype=np.uint16)
+    with Lut3DOracle(cube_path, interp, "rgb48le", width, height) as oracle:
+        oracle.apply_rgb48(rgb16)  # warm
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            oracle.apply_rgb48(rgb16)
+        dt = time.perf_counter() - t0
+    return frames / dt

@@ -68,33 +68,29 @@ def _scaled_coords(x: jnp.ndarray, n: int, dmin, dmax):
     return p, nx, d
 
 
-def _onehot_t(idx: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(P,) int32 -> (N, P) f32 one-hot, transposed-planar layout."""
-    iota = jnp.arange(n, dtype=jnp.int32)[:, None]
-    return (iota == idx[None, :]).astype(jnp.float32)
-
-
-def _tap_t(p, nx, wp, wn, n):
-    """Tap vector (N, P): wp at p, wn at nx (nx may equal p at the top edge,
-    in which case the weights sum there, matching d == 0 in that case)."""
-    return _onehot_t(p, n) * wp[None, :] + _onehot_t(nx, n) * wn[None, :]
-
-
 def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
-    """Return a list of (rvT, gvT, bvT) tap-vector triples, one per pass."""
+    """Return a list of per-pass tap-weight stacks, each (6, P) f32 laid out
+    [wr_prev, wr_next, wg_prev, wg_next, wb_prev, wb_next].
+
+    The (N, P) tap VECTORS are built inside the kernel from these compact
+    weights + the (3, P) index stack — materializing them at XLA level costs
+    ~400 B/pixel of HBM temps and OOMs on 4K batches (measured)."""
+    ones = jnp.ones_like(dr)
+    zeros = jnp.zeros_like(dr)
+
     if interp == "nearest":
-        # NEAR(x) = trunc(x + 0.5) on the scaled coordinate
-        rn = jnp.minimum(pr + (dr >= 0.5).astype(jnp.int32), n - 1)
-        gn = jnp.minimum(pg + (dg >= 0.5).astype(jnp.int32), n - 1)
-        bn = jnp.minimum(pb + (db >= 0.5).astype(jnp.int32), n - 1)
-        return [(_onehot_t(rn, n), _onehot_t(gn, n), _onehot_t(bn, n))]
+        # NEAR(x) = trunc(x + 0.5): prev tap when d < 0.5, next tap otherwise
+        def near(d):
+            hit_n = (d >= 0.5).astype(dr.dtype)
+            return 1.0 - hit_n, hit_n
+
+        wrp, wrn = near(dr)
+        wgp, wgn = near(dg)
+        wbp, wbn = near(db)
+        return [jnp.stack([wrp, wrn, wgp, wgn, wbp, wbn])]
 
     if interp == "trilinear":
-        return [(
-            _tap_t(pr, nr, 1.0 - dr, dr, n),
-            _tap_t(pg, ng, 1.0 - dg, dg, n),
-            _tap_t(pb, nb, 1.0 - db, db, n),
-        )]
+        return [jnp.stack([1.0 - dr, dr, 1.0 - dg, dg, 1.0 - db, db])]
 
     if interp == "tetrahedral":
         # FFmpeg's strict-comparison case masks (colorcore.interp semantics).
@@ -120,27 +116,19 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
         dmin = jnp.where(is_min_r, dr, jnp.where(is_min_g, dg, db))
         dmid = dr + dg + db - dmax - dmin
 
-        def pass1_axis(is_max, p, nx, d):
+        def pass1_axis(is_max):
             wp = jnp.where(is_max, 1.0 - dmax, 1.0)
             wn = jnp.where(is_max, dmax - dmid, 0.0)
-            return _tap_t(p, nx, wp, wn, n)
+            return wp, wn
 
-        def pass2_axis(is_min, p, nx, d):
+        def pass2_axis(is_min):
             wp = jnp.where(is_min, dmid - dmin, 0.0)
             wn = jnp.where(is_min, dmin, 1.0)
-            return _tap_t(p, nx, wp, wn, n)
+            return wp, wn
 
-        pass1 = (
-            pass1_axis(is_max_r, pr, nr, dr),
-            pass1_axis(is_max_g, pg, ng, dg),
-            pass1_axis(is_max_b, pb, nb, db),
-        )
-        pass2 = (
-            pass2_axis(is_min_r, pr, nr, dr),
-            pass2_axis(is_min_g, pg, ng, dg),
-            pass2_axis(is_min_b, pb, nb, db),
-        )
-        return [pass1, pass2]
+        p1 = [w for is_m in (is_max_r, is_max_g, is_max_b) for w in pass1_axis(is_m)]
+        p2 = [w for is_m in (is_min_r, is_min_g, is_min_b) for w in pass2_axis(is_m)]
+        return [jnp.stack(p1), jnp.stack(p2)]
 
     raise ValueError(f"unknown interp {interp!r}")
 
@@ -149,48 +137,91 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
-def _pass_kernel(n: int, gv_ref, bv_ref, rv_ref, lmat_ref, out_ref):
-    gv = gv_ref[:]                      # (N, BM)
-    bv = bv_ref[:]                      # (N, BM)
-    bm = gv.shape[1]
-    # Wt[j*N + k, p] = gv[j, p] * bv[k, p]  (outer product along sublanes)
-    a = jnp.broadcast_to(gv[:, None, :], (n, n, bm)).reshape(n * n, bm)
-    b = jnp.broadcast_to(bv[None, :, :], (n, n, bm)).reshape(n * n, bm)
-    w = a * b
-    # (ROWS_PAD, N^2) @ (N^2, BM) on the MXU. HIGHEST precision keeps the
-    # contraction in true f32 (default TPU precision would downcast to bf16,
-    # blowing the dE76 parity budget).
-    t = jnp.dot(lmat_ref[:], w, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    rv = rv_ref[:]                      # (N, BM)
+def _pass_kernel(n: int, ones_row: int, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
+    """One factorized pass, bf16 MXU with exact LUT split + sum correction.
+
+    Precision model: the LUT matrix is exact (hi + lo bf16 halves, error
+    ~2^-17). The weight matrix W is bf16 (error 2^-9 relative per element);
+    the all-ones LUT row returns each pixel's ACTUAL weight sum, and
+    rescaling by true_sum/measured_sum cancels the common-mode rounding —
+    the residual is 2^-9 * cell-local LUT spread (~1e-4 for real LUTs),
+    far inside the dE76 0.5 budget (verified against FFmpeg lut3d by
+    tests/test_oracle_parity.py + tests/test_lut3d_op.py).
+    """
+    idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
+    wts = w_ref[:]                      # (6, BM) f32 tap weights
+    bm = idx.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
+
+    def tap(axis):
+        p = idx[axis:axis + 1, :]       # (1, BM), broadcasts over sublanes
+        nx = jnp.minimum(p + 1, n - 1)
+        wp = wts[2 * axis:2 * axis + 1, :]
+        wn = wts[2 * axis + 1:2 * axis + 2, :]
+        return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rv = tap(0)                         # f32; r-axis contraction stays f32
+    # Wt[k*N + j, p] = gv[j, p] * bweight[k, p] (outer product along
+    # sublanes, b-major layout matching prepare.prepare_lut's column order).
+    # The g-factor is a native bf16 tile: pltpu.repeat has TILE semantics so
+    # repeating the (N, BM) tap block N times yields row t -> gv[t % N].
+    # The b-factor needs an elementwise repeat, which Mosaic has no cheap
+    # primitive for; it is built by f32 range-compares on a flat row iota
+    # (16-bit compares/iota are unsupported on this target) and cast once.
+    # All selects stay f32 — mixing i1 masks from 32-bit compares with bf16
+    # selects trips "invalid relayout" in Mosaic.
+    gv16 = tap(1).astype(jnp.bfloat16)
+    a = pltpu.repeat(gv16, n, axis=0)            # (N^2, BM), row t -> gv[t%N]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
+    pk = idx[2:3, :]
+    nk = jnp.minimum(pk + 1, n - 1)
+    wbp = wts[4:5, :]
+    wbn = wts[5:6, :]
+    pkn = pk * n
+    nkn = nk * n
+    b32 = (
+        jnp.where((t_iota >= pkn) & (t_iota < pkn + n), wbp, 0.0)
+        + jnp.where((t_iota >= nkn) & (t_iota < nkn + n), wbn, 0.0)
+    )
+    w = a * b32.astype(jnp.bfloat16)             # bf16 (N^2, BM)
+    t = (
+        jnp.dot(lhi_ref[:], w, preferred_element_type=jnp.float32)
+        + jnp.dot(llo_ref[:], w, preferred_element_type=jnp.float32)
+    )
+    # cancel bf16 weight rounding: true (g,b) weight sum vs measured sum
+    true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+    meas = t[ones_row:ones_row + 1, :]
+    scale = jnp.where(meas > 1e-12, true_sum / meas, 0.0)
     for c in range(3):
         seg = t[c * n:(c + 1) * n, :]   # (N, BM) sublane slice
-        out_ref[c, :] = jnp.sum(seg * rv, axis=0)
+        out_ref[c, :] = jnp.sum(seg * rv, axis=0) * scale[0, :]
 
 
-def _run_pass(gvT, bvT, rvT, lmat, n: int, interpret: bool) -> jnp.ndarray:
+def _run_pass(idx3, w6, lhi, llo, n: int, ones_row: int,
+              interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rows_pad, nsq = lmat.shape
-    npix = gvT.shape[1]
+    rows_pad, nsq = lhi.shape
+    npix = idx3.shape[1]
     bm = _block_pixels(n)
     assert npix % bm == 0
-    kernel = functools.partial(_pass_kernel, n)
-    vec_spec = pl.BlockSpec((n, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pass_kernel, n, ones_row)
     out = pl.pallas_call(
         kernel,
         grid=(npix // bm,),
         in_specs=[
-            vec_spec,
-            vec_spec,
-            vec_spec,
+            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(gvT, bvT, rvT, lmat)
+    )(idx3, w6, lhi, llo)
     return out[:3]
 
 
@@ -244,11 +275,13 @@ def apply_lut_planes(
     pg, ng, dg = _scaled_coords(gf, n, dmin[1], dmax[1])
     pb, nb, db = _scaled_coords(bf, n, dmin[2], dmax[2])
 
-    lmat = jnp.asarray(prep.lmat)
+    lhi = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
+    llo = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
+    idx3 = jnp.stack([pr, pg, pb])
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     acc = None
-    for rvT, gvT, bvT in passes:
-        out = _run_pass(gvT, bvT, rvT, lmat, n, interpret)
+    for w6 in passes:
+        out = _run_pass(idx3, w6, lhi, llo, n, prep.ones_row, interpret)
         acc = out if acc is None else acc + out
     ro, go, bo = acc[0], acc[1], acc[2]
     if pad:

@@ -25,9 +25,12 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass
 class PreparedLut:
-    lmat: np.ndarray        # (rows_pad, N*N) f32: rows_pad = round_up(3N, 128)
+    lmat: np.ndarray        # (rows_pad, N*N) f32: rows_pad = round_up(3N+1, 128)
+    lmat_hi: np.ndarray     # bf16 high half (ml_dtypes bfloat16 as uint16 view-safe)
+    lmat_lo: np.ndarray     # bf16 residual: lmat - f32(lmat_hi)
     size: int               # N
     rows_pad: int           # padded row count (output dim of the matmul)
+    ones_row: int           # row index of the all-ones sum-correction row (3N)
     domain_min: np.ndarray  # (3,) f32
     domain_max: np.ndarray  # (3,) f32
     table: np.ndarray       # original (N, N, N, 3) f32 (for fallback paths)
@@ -40,18 +43,30 @@ class PreparedLut:
 
 
 def prepare_lut(lut: Lut3D) -> PreparedLut:
+    import ml_dtypes
+
     table = np.asarray(lut.table, dtype=np.float32)
     n = table.shape[0]
     rows = 3 * n
-    rows_pad = _round_up(rows, 128)
-    # lmat[c*N + r, j*N + k] = table[r, j, k, c]
+    rows_pad = _round_up(rows + 1, 128)
+    # lmat[c*N + r, k*N + j] = table[r, j, k, c]; row 3N is all-ones so the
+    # matmul also returns each pixel's actual weight-column sum (used to
+    # cancel bf16 weight rounding in the kernel). Column order is b-major /
+    # g-minor so the kernel can build the g-factor of the weight outer
+    # product as a native tile (pltpu.repeat) — see lut3d._pass_kernel.
     lmat = np.zeros((rows_pad, n * n), dtype=np.float32)
-    # table axes: (r, j, k, c) -> want (c, r, j, k) -> reshape (3N, N*N)
-    lmat[:rows] = table.transpose(3, 0, 1, 2).reshape(rows, n * n)
+    # table axes: (r, j, k, c) -> want (c, r, k, j) -> reshape (3N, N*N)
+    lmat[:rows] = table.transpose(3, 0, 2, 1).reshape(rows, n * n)
+    lmat[rows] = 1.0
+    hi = lmat.astype(ml_dtypes.bfloat16)
+    lo = (lmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     return PreparedLut(
         lmat=lmat,
+        lmat_hi=hi,
+        lmat_lo=lo,
         size=n,
         rows_pad=rows_pad,
+        ones_row=rows,
         domain_min=np.asarray(lut.domain_min, np.float32),
         domain_max=np.asarray(lut.domain_max, np.float32),
         table=table,

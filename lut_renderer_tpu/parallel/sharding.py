@@ -1,0 +1,70 @@
+"""Multi-chip frame sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is N independent FFmpeg processes
+(SURVEY.md §2.3); the TPU build adds intra-clip data parallelism: the frame
+batch axis is sharded across chips over ICI (BASELINE.json config 5,
+"frame-sharded multi-chip pipeline"). Frames are independent, so the render
+step needs NO collectives — sharding the batch axis with shard_map gives
+linear scaling and keeps each chip's Pallas kernel local to its shard.
+
+The LUT matrix and config are replicated; host I/O feeds per-chip shards via
+jax.device_put with a NamedSharding so H2D DMA lands directly on the right
+chips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.prepare import PreparedLut
+from ..ops.render import RenderConfig, render_yuv_frame
+
+FRAME_AXIS = "frames"
+
+
+def default_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (FRAME_AXIS,))
+
+
+def shard_batch_size(mesh: Mesh, per_device_frames: int = 1) -> int:
+    return mesh.shape[FRAME_AXIS] * per_device_frames
+
+
+def make_sharded_render_fn(
+    prep: Optional[PreparedLut],
+    cfg: RenderConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """Jitted render step over a mesh: batch axis sharded, LUT replicated.
+
+    Inputs: y (B, H, W), u/v (B, Hc, Wc) with B a multiple of the mesh size.
+    Frames are independent -> out_specs mirror in_specs and XLA inserts no
+    collectives; scaling rides ICI-local HBM only.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(FRAME_AXIS)
+
+    def step(y, u, v):
+        return render_yuv_frame(y, u, v, prep, cfg, interpret=interpret)
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def put_sharded(mesh: Mesh, *arrays):
+    """Host arrays -> device arrays sharded along the frame axis."""
+    sharding = NamedSharding(mesh, P(FRAME_AXIS))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

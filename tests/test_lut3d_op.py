@@ -33,9 +33,9 @@ def test_mxu_matches_reference_random_lut(interp, random_lut, rng):
     prep = prepare_lut(random_lut)
     ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
     rr, gr, br = _reference(r, g, b, random_lut, interp)
-    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6, err_msg=interp)
-    np.testing.assert_allclose(np.asarray(go), gr, atol=3e-6, err_msg=interp)
-    np.testing.assert_allclose(np.asarray(bo), br, atol=3e-6, err_msg=interp)
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4, err_msg=interp)  # corrected-bf16 model: 2^-8 * cell spread
+    np.testing.assert_allclose(np.asarray(go), gr, atol=3e-4, err_msg=interp)  # corrected-bf16 model: 2^-8 * cell spread
+    np.testing.assert_allclose(np.asarray(bo), br, atol=3e-4, err_msg=interp)  # corrected-bf16 model: 2^-8 * cell spread
 
 
 @pytest.mark.parametrize("interp", ["trilinear", "tetrahedral"])
@@ -43,9 +43,9 @@ def test_mxu_identity_lut(interp, identity_lut, rng):
     r, g, b = _rand_rgb_planes(rng)
     prep = prepare_lut(identity_lut)
     ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
-    np.testing.assert_allclose(np.asarray(ro), r, atol=3e-6)
-    np.testing.assert_allclose(np.asarray(go), g, atol=3e-6)
-    np.testing.assert_allclose(np.asarray(bo), b, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ro), r, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(go), g, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(bo), b, atol=3e-4)
 
 
 def test_mxu_lattice_points_exact(random_lut, rng):
@@ -67,7 +67,7 @@ def test_mxu_nonaligned_pixel_count(random_lut, rng):
     prep = prepare_lut(random_lut)
     ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral", interpret=True)
     rr, gr, br = _reference(r, g, b, random_lut, "tetrahedral")
-    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4)
     assert ro.shape == (5, 77)
 
 
@@ -86,7 +86,7 @@ def test_gather_strategy_matches(random_lut, rng):
     prep = prepare_lut(random_lut)
     ro, _, _ = apply_lut_planes(r, g, b, prep, "tetrahedral", strategy="gather")
     rr, _, _ = _reference(r, g, b, random_lut, "tetrahedral")
-    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=1e-5)
 
 
 def test_edge_values(random_lut):
@@ -102,3 +102,18 @@ def test_edge_values(random_lut):
         np.testing.assert_allclose(
             np.asarray(ro)[0, -1], random_lut.table[n - 1, n - 1, n - 1, 0], atol=1e-6
         )
+
+
+def test_mxu_delta_e_vs_reference(random_lut, rng):
+    """The metric that matters: dE76 of the kernel vs the float reference
+    stays ~100x inside the 0.5 parity budget (corrected-bf16 precision)."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(random_lut)
+    for interp in ("trilinear", "tetrahedral"):
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+        rr, gr, br = _reference(r, g, b, random_lut, interp)
+        got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+        want = np.stack([rr, gr, br], -1)
+        assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.05
