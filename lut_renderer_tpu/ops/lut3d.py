@@ -137,8 +137,11 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
-def _pass_kernel(n: int, ones_row: int, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
-    """One factorized pass, bf16 MXU with exact LUT split + sum correction.
+def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
+                 idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
+    """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
+    correction. Multi-pass interps (tetrahedral) run both passes in one
+    kernel invocation to share index loads, iotas, and grid overhead.
 
     Precision model: the LUT matrix is exact (hi + lo bf16 halves, error
     ~2^-17). The weight matrix W is bf16 (error 2^-9 relative per element);
@@ -148,59 +151,70 @@ def _pass_kernel(n: int, ones_row: int, idx_ref, w_ref, lhi_ref, llo_ref, out_re
     far inside the dE76 0.5 budget (verified against FFmpeg lut3d by
     tests/test_oracle_parity.py + tests/test_lut3d_op.py).
     """
-    idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
-    wts = w_ref[:]                      # (6, BM) f32 tap weights
-    bm = idx.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-
-    def tap(axis):
-        p = idx[axis:axis + 1, :]       # (1, BM), broadcasts over sublanes
-        nx = jnp.minimum(p + 1, n - 1)
-        wp = wts[2 * axis:2 * axis + 1, :]
-        wn = wts[2 * axis + 1:2 * axis + 2, :]
-        return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
-
     from jax.experimental.pallas import tpu as pltpu
 
-    rv = tap(0)                         # f32; r-axis contraction stays f32
-    # Wt[k*N + j, p] = gv[j, p] * bweight[k, p] (outer product along
-    # sublanes, b-major layout matching prepare.prepare_lut's column order).
-    # The g-factor is a native bf16 tile: pltpu.repeat has TILE semantics so
-    # repeating the (N, BM) tap block N times yields row t -> gv[t % N].
-    # The b-factor needs an elementwise repeat, which Mosaic has no cheap
-    # primitive for; it is built by f32 range-compares on a flat row iota
-    # (16-bit compares/iota are unsupported on this target) and cast once.
-    # All selects stay f32 — mixing i1 masks from 32-bit compares with bf16
-    # selects trips "invalid relayout" in Mosaic.
-    gv16 = tap(1).astype(jnp.bfloat16)
-    a = pltpu.repeat(gv16, n, axis=0)            # (N^2, BM), row t -> gv[t%N]
+    idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
+    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    bm = idx.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
+    lhi = lhi_ref[:]
+    llo = llo_ref[:]
+
     pk = idx[2:3, :]
     nk = jnp.minimum(pk + 1, n - 1)
-    wbp = wts[4:5, :]
-    wbn = wts[5:6, :]
     pkn = pk * n
     nkn = nk * n
-    b32 = (
-        jnp.where((t_iota >= pkn) & (t_iota < pkn + n), wbp, 0.0)
-        + jnp.where((t_iota >= nkn) & (t_iota < nkn + n), wbn, 0.0)
-    )
-    w = a * b32.astype(jnp.bfloat16)             # bf16 (N^2, BM)
-    t = (
-        jnp.dot(lhi_ref[:], w, preferred_element_type=jnp.float32)
-        + jnp.dot(llo_ref[:], w, preferred_element_type=jnp.float32)
-    )
-    # cancel bf16 weight rounding: true (g,b) weight sum vs measured sum
-    true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
-    meas = t[ones_row:ones_row + 1, :]
-    scale = jnp.where(meas > 1e-12, true_sum / meas, 0.0)
+    bmask_p = (t_iota >= pkn) & (t_iota < pkn + n)
+    bmask_n = (t_iota >= nkn) & (t_iota < nkn + n)
+
+    acc = [None, None, None]
+    for ps in range(n_passes):
+        wts = wall[6 * ps:6 * ps + 6, :]
+
+        def tap(axis):
+            p = idx[axis:axis + 1, :]   # (1, BM), broadcasts over sublanes
+            nx = jnp.minimum(p + 1, n - 1)
+            wp = wts[2 * axis:2 * axis + 1, :]
+            wn = wts[2 * axis + 1:2 * axis + 2, :]
+            return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
+
+        rv = tap(0)                     # f32; r-axis contraction stays f32
+        # Wt[k*N + j, p] = gv[j, p] * bweight[k, p] (outer product along
+        # sublanes, b-major layout matching prepare_lut's column order).
+        # g-factor: native bf16 tile (pltpu.repeat has TILE semantics, so
+        # repeating the (N, BM) tap block N times yields row t -> gv[t%N]).
+        # b-factor: elementwise repeat has no cheap Mosaic primitive; built
+        # from f32 range-compares on a flat row iota (16-bit iota/compares
+        # are unsupported; i1 masks from 32-bit compares cannot feed bf16
+        # selects without an invalid relayout) and cast once.
+        gv16 = tap(1).astype(jnp.bfloat16)
+        a = pltpu.repeat(gv16, n, axis=0)        # (N^2, BM), row t -> gv[t%N]
+        wbp = wts[4:5, :]
+        wbn = wts[5:6, :]
+        b32 = jnp.where(bmask_p, wbp, 0.0) + jnp.where(bmask_n, wbn, 0.0)
+        w = a * b32.astype(jnp.bfloat16)         # bf16 (N^2, BM)
+        t = jnp.dot(lhi, w, preferred_element_type=jnp.float32)
+        if exact:
+            # second matmul restores full f32 LUT precision (error ~2^-17);
+            # "fast" mode skips it, leaving <=2^-9 absolute LUT rounding
+            # (dE76 up to ~0.3 worst case - still inside the 0.5 budget,
+            # but not bit-depth-exact at 10-bit outputs)
+            t = t + jnp.dot(llo, w, preferred_element_type=jnp.float32)
+        # cancel bf16 weight rounding: true (g,b) weight sum vs measured
+        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+        meas = t[ones_row:ones_row + 1, :]
+        scale = jnp.where(meas > 1e-12, true_sum / meas, 0.0)
+        for c in range(3):
+            seg = t[c * n:(c + 1) * n, :]        # (N, BM) sublane slice
+            contrib = jnp.sum(seg * rv, axis=0) * scale[0, :]
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
     for c in range(3):
-        seg = t[c * n:(c + 1) * n, :]   # (N, BM) sublane slice
-        out_ref[c, :] = jnp.sum(seg * rv, axis=0) * scale[0, :]
+        out_ref[c, :] = acc[c]
 
 
-def _run_pass(idx3, w6, lhi, llo, n: int, ones_row: int,
-              interpret: bool) -> jnp.ndarray:
+def _run_passes(idx3, w_stack, lhi, llo, n: int, ones_row: int,
+                n_passes: int, exact: bool, interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -208,20 +222,21 @@ def _run_pass(idx3, w6, lhi, llo, n: int, ones_row: int,
     npix = idx3.shape[1]
     bm = _block_pixels(n)
     assert npix % bm == 0
-    kernel = functools.partial(_pass_kernel, n, ones_row)
+    kernel = functools.partial(_pass_kernel, n, ones_row, n_passes, exact)
+    nw = 6 * n_passes
     out = pl.pallas_call(
         kernel,
         grid=(npix // bm,),
         in_specs=[
             pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(idx3, w6, lhi, llo)
+    )(idx3, w_stack, lhi, llo)
     return out[:3]
 
 
@@ -236,6 +251,7 @@ def apply_lut_planes(
     prep: PreparedLut,
     interp: str = "tetrahedral",
     strategy: str = "mxu",
+    precision: str = "exact",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply a prepared 3D LUT to planar float RGB in [0,1].
@@ -279,11 +295,10 @@ def apply_lut_planes(
     llo = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
     idx3 = jnp.stack([pr, pg, pb])
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
-    acc = None
-    for w6 in passes:
-        out = _run_pass(idx3, w6, lhi, llo, n, prep.ones_row, interpret)
-        acc = out if acc is None else acc + out
-    ro, go, bo = acc[0], acc[1], acc[2]
+    w_stack = jnp.concatenate(passes, axis=0) if len(passes) > 1 else passes[0]
+    out = _run_passes(idx3, w_stack, lhi, llo, n, prep.ones_row,
+                      len(passes), precision != "fast", interpret)
+    ro, go, bo = out[0], out[1], out[2]
     if pad:
         ro, go, bo = ro[:npix], go[:npix], bo[:npix]
     return ro.reshape(shape), go.reshape(shape), bo.reshape(shape)
