@@ -143,10 +143,13 @@ def cmd_render(args) -> int:
 
     manager = TaskManager(max_concurrency=args.concurrency,
                           lut_strategy=args.lut_strategy)
-    names = {}
     for task in batch.tasks:
-        names[task.task_id] = task.display_name()
         manager.add_task(task)
+    return _run_queue(manager, args)
+
+
+def _run_queue(manager, args) -> int:
+    names = {t.task_id: t.display_name() for t in manager.tasks.values()}
 
     def on_log(task_id, message):
         stamp = time.strftime("%H:%M:%S")
@@ -161,6 +164,10 @@ def cmd_render(args) -> int:
     manager.start_all()
     manager.wait_all()
 
+    if getattr(args, "save_queue", None):
+        manager.save_queue(args.save_queue)
+        print(f"queue state saved to {args.save_queue}")
+
     failed = [t for t in manager.tasks.values() if t.status.value == "failed"]
     done = [t for t in manager.tasks.values() if t.status.value == "completed"]
     print(f"queue finished: {len(done)} completed, {len(failed)} failed")
@@ -169,6 +176,20 @@ def cmd_render(args) -> int:
     for t in done:
         print(f"  OK {t.display_name()} -> {t.output_path}")
     return 1 if failed else 0
+
+
+def cmd_resume(args) -> int:
+    """Resume a saved queue: PENDING (and interrupted RUNNING) tasks run."""
+    from ..tasks import TaskManager
+
+    manager = TaskManager(max_concurrency=args.concurrency,
+                          lut_strategy=args.lut_strategy)
+    n = manager.load_queue(args.queue_file)
+    pending = sum(1 for t in manager.tasks.values() if t.status.value == "pending")
+    print(f"loaded {n} tasks ({pending} pending)")
+    if not pending:
+        return 0
+    return _run_queue(manager, args)
 
 
 def cmd_probe(args) -> int:
@@ -246,6 +267,58 @@ def cmd_encoders(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment health check — the CLI equivalent of the reference's
+    tool-presence gate (_check_tools disables Start when ffmpeg/ffprobe are
+    missing, main_window.py:2478-2500)."""
+    ok = True
+
+    def report(name, good, detail=""):
+        nonlocal ok
+        status = "ok" if good else "MISSING"
+        print(f"  {name:<28} {status}  {detail}")
+        if not good:
+            ok = False
+
+    print("media layer:")
+    try:
+        from ..hostio.ffi import get_ffi
+
+        ffi = get_ffi()
+        report("bundled FFmpeg libs", True, "layout verified")
+    except Exception as exc:
+        report("bundled FFmpeg libs", False, str(exc)[:80])
+    try:
+        from ..hostio import list_encoders
+
+        encs = list_encoders()
+        report("encoders", bool(encs), ", ".join(encs[:6]) + ("..." if len(encs) > 6 else ""))
+        report("prores_ks (pro master)", "prores_ks" in encs)
+    except Exception as exc:
+        report("encoders", False, str(exc)[:80])
+    try:
+        import cv2
+
+        report("cv2 (thumbnails/fixtures)", True, cv2.__version__)
+    except Exception as exc:
+        report("cv2 (thumbnails/fixtures)", False, str(exc)[:80])
+
+    print("compute:")
+    try:
+        import jax
+
+        devs = jax.devices()
+        plat = devs[0].platform
+        report("jax devices", True, f"{len(devs)}x {plat}")
+        if plat != "tpu":
+            print("    note: no TPU visible — LUT kernel will use the slow"
+                  " gather path")
+    except Exception as exc:
+        report("jax devices", False, str(exc)[:80])
+    print("overall:", "ok" if ok else "problems found")
+    return 0 if ok else 1
+
+
 def cmd_thumb(args) -> int:
     out = ensure_thumbnail(Path(args.file), width=args.width)
     if out is None:
@@ -272,8 +345,18 @@ def build_parser() -> argparse.ArgumentParser:
     render.add_argument("--progress", action="store_true")
     render.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
+    render.add_argument("--save-queue", help="write queue state JSON when done")
     _add_param_flags(render)
     render.set_defaults(fn=cmd_render)
+
+    resume = sub.add_parser("resume", help="resume a saved queue")
+    resume.add_argument("queue_file")
+    resume.add_argument("--concurrency", type=int, default=1)
+    resume.add_argument("--progress", action="store_true")
+    resume.add_argument("--save-queue", help="write queue state JSON when done")
+    resume.add_argument("--lut-strategy", choices=["mxu", "gather"],
+                        default="mxu", help=argparse.SUPPRESS)
+    resume.set_defaults(fn=cmd_resume)
 
     probe = sub.add_parser("probe", help="print media info")
     probe.add_argument("files", nargs="+")
@@ -301,6 +384,9 @@ def build_parser() -> argparse.ArgumentParser:
     thumb.add_argument("file")
     thumb.add_argument("--width", type=int, default=160)
     thumb.set_defaults(fn=cmd_thumb)
+
+    doctor = sub.add_parser("doctor", help="environment health check")
+    doctor.set_defaults(fn=cmd_doctor)
     return parser
 
 

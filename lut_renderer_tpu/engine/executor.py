@@ -136,8 +136,11 @@ def run_stage(
             if (source_info and source_info.audio_codec and spec.audio_codec)
             else None
         )
+        audio_mode = spec.audio_codec or "copy"
         try:
-            enc = VideoEncoder(spec.output, enc_settings, audio_from=audio_from)
+            enc = VideoEncoder(spec.output, enc_settings, audio_from=audio_from,
+                               audio_mode=audio_mode,
+                               audio_bitrate=spec.audio_bitrate)
         except Exception as exc:
             dec.close()
             return StageResult(ok=False, error=f"encoder open failed: {exc}")

@@ -150,7 +150,11 @@ class VideoEncoder:
     behavior, ffmpeg.py:420 audio copy)."""
 
     def __init__(self, path, settings: EncoderSettings,
-                 audio_from: Optional[Path] = None):
+                 audio_from: Optional[Path] = None,
+                 audio_mode: str = "copy",
+                 audio_bitrate: Optional[str] = None):
+        self._audio_mode = audio_mode
+        self._audio_bitrate = audio_bitrate
         self.path = Path(path)
         self.settings = settings
         self.ffi = get_ffi()
@@ -271,6 +275,11 @@ class VideoEncoder:
 
     # -- audio --------------------------------------------------------------
     def _setup_audio_copy(self, src: Path) -> Optional[_AudioCopy]:
+        if self._audio_mode not in ("", "copy", None):
+            transcoded = self._setup_audio_transcode(src)
+            if transcoded is not None:
+                return transcoded
+            # incompatible shapes / missing encoder: degrade to stream copy
         ffi = self.ffi
         f = ffi.avformat
         ictx = c_void_p(0)
@@ -291,6 +300,9 @@ class VideoEncoder:
             opar = _r_ptr(out_st, OFF["st_codecpar"])
             if ffi.avcodec.avcodec_parameters_copy(c_void_p(opar), c_void_p(apar)) < 0:
                 return None
+            # container-specific codec_tag (e.g. WAVE fmt tags) must not leak
+            # across muxers; ffmpeg's CLI zeroes it on stream copy too.
+            _w_i32(opar, 8, 0)
             src_tb = _r_rational(ast, OFF["st_time_base"])
             otb = _r_rational(out_st, OFF["st_time_base"])
             otb.num, otb.den = src_tb.num, src_tb.den
@@ -326,6 +338,41 @@ class VideoEncoder:
             )
         finally:
             f.avformat_close_input(byref(ictx))
+
+    def _setup_audio_transcode(self, src: Path) -> Optional[_AudioCopy]:
+        """Re-encode the source audio (reference `-c:a aac` default path,
+        ffmpeg.py:400-408); returns None to signal fallback to copy."""
+        from .audio import free_audio_ctx, transcode_audio_packets
+
+        try:
+            result = transcode_audio_packets(
+                src, self._audio_mode, bitrate_to_bits(self._audio_bitrate)
+            )
+        except Exception:
+            return None
+        if result is None:
+            return None
+        enc_ctx, packets, (tb_num, tb_den) = result
+        try:
+            ffi = self.ffi
+            out_st = ffi.avformat.avformat_new_stream(self._ofmt, None)
+            if not out_st:
+                return None
+            opar = _r_ptr(out_st, OFF["st_codecpar"])
+            if ffi.avcodec.avcodec_parameters_from_context(
+                c_void_p(opar), c_void_p(enc_ctx)
+            ) < 0:
+                return None
+            otb = _r_rational(out_st, OFF["st_time_base"])
+            otb.num, otb.den = tb_num, tb_den
+            return _AudioCopy(
+                packets=packets,
+                src_time_base=(tb_num, tb_den),
+                out_stream_index=_r_i32(out_st, OFF["st_index"]),
+                out_st=out_st,
+            )
+        finally:
+            free_audio_ctx(enc_ctx)
 
     def _write_audio_packets(self):
         if not self._audio or not self._audio.packets:

@@ -141,6 +141,106 @@ class TaskManager:
                 return False
             time.sleep(0.05)
 
+    def reprocess_task(self, task_id: str, params=None,
+                       new_output_path=None) -> bool:
+        """Re-enqueue a finished/failed task with fresh parameters and a new
+        output path (reference: main_window.py:1863-1930 _reprocess_selected:
+        re-snapshot params, fresh output name, status -> PENDING, reset row)."""
+        task = self.tasks.get(task_id)
+        if task is None or task.status == TaskStatus.RUNNING:
+            return False
+        if params is not None:
+            task.params = params
+        if new_output_path is not None:
+            task.output_path = new_output_path
+        else:
+            from ..app.naming import output_path_for
+
+            task.output_path = output_path_for(
+                task.source_path, task.output_path.parent
+            )
+        task.status = TaskStatus.PENDING
+        task.progress = 0
+        task.error = ""
+        task.started_at = None
+        task.finished_at = None
+        self.task_updated.emit(task_id)
+        return True
+
+    # -- queue persistence (checkpoint/resume; absent in the reference whose
+    # in-memory queue dies with the app — SURVEY.md §5.4 marks this the one
+    # cheap recovery affordance worth adding) --------------------------------
+    def save_queue(self, path) -> None:
+        import json
+        from pathlib import Path as _P
+
+        with self._lock:
+            items = []
+            for task in self.tasks.values():
+                items.append({
+                    "task_id": task.task_id,
+                    "source_path": str(task.source_path),
+                    "output_path": str(task.output_path),
+                    "lut_path": str(task.lut_path) if task.lut_path else None,
+                    "cover_path": str(task.cover_path) if task.cover_path else None,
+                    "intermediate_path": (
+                        str(task.intermediate_path)
+                        if task.intermediate_path else None
+                    ),
+                    "params": task.params.to_dict(),
+                    "status": task.status.value,
+                    "progress": task.progress,
+                    "error": task.error,
+                })
+        _P(path).write_text(
+            json.dumps({"version": 1, "tasks": items}, indent=2),
+            encoding="utf-8",
+        )
+
+    def load_queue(self, path, probe: bool = True) -> int:
+        """Restore tasks from a saved queue file. RUNNING entries come back
+        as PENDING (they were interrupted); COMPLETED/FAILED/CANCELED keep
+        their status for display. Returns the number of tasks loaded."""
+        import json
+        from pathlib import Path as _P
+
+        from ..models import ProcessingParams
+
+        data = json.loads(_P(path).read_text(encoding="utf-8"))
+        count = 0
+        for item in data.get("tasks", []):
+            status = item.get("status", "pending")
+            if status == TaskStatus.RUNNING.value:
+                status = TaskStatus.PENDING.value
+            info = None
+            src = _P(item["source_path"])
+            if probe and src.exists():
+                try:
+                    from ..hostio import probe_video
+
+                    info = probe_video(src)
+                except Exception:
+                    info = None
+            task = Task(
+                task_id=item["task_id"],
+                source_path=src,
+                output_path=_P(item["output_path"]),
+                lut_path=_P(item["lut_path"]) if item.get("lut_path") else None,
+                cover_path=_P(item["cover_path"]) if item.get("cover_path") else None,
+                params=ProcessingParams.from_dict(item.get("params", {})),
+                source_info=info,
+                intermediate_path=(
+                    _P(item["intermediate_path"])
+                    if item.get("intermediate_path") else None
+                ),
+                status=TaskStatus(status),
+                progress=int(item.get("progress", 0)),
+                error=item.get("error", ""),
+            )
+            self.add_task(task)
+            count += 1
+        return count
+
     # -- runner callbacks ---------------------------------------------------
     def _on_progress(self, task_id: str, progress: int) -> None:
         task = self.tasks.get(task_id)

@@ -54,6 +54,88 @@ def make_synthetic_frames(
         yield frame
 
 
+def make_sine_wav(path, seconds: float = 2.0, rate: int = 48000,
+                  freq: float = 440.0) -> Path:
+    """Stereo 16-bit sine WAV via the stdlib (no codec needed) — the audio
+    seed for A/V fixtures."""
+    import struct
+    import wave
+
+    path = Path(path)
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    tone = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    stereo = np.repeat(tone[:, None], 2, axis=1).ravel()
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(stereo.tobytes())
+    return path
+
+
+def make_av_clip(path, width: int = 128, height: int = 96, fps: float = 25.0,
+                 frames: int = 50, audio_seconds: float = 2.0) -> Path:
+    """Video + PCM audio in one .mov: synthetic frames through the in-process
+    encoder with the sine WAV's stream remuxed in."""
+    import tempfile
+    from fractions import Fraction
+
+    from ..hostio.encode import EncoderSettings, VideoEncoder
+
+    path = Path(path)
+    wav = make_sine_wav(
+        Path(tempfile.mkdtemp(prefix="luttpu_wav_")) / "tone.wav",
+        seconds=audio_seconds,
+    )
+    st = EncoderSettings(codec="mpeg4", width=width, height=height,
+                         pix_fmt="yuv420p", fps=Fraction(int(fps)), bitrate="1M")
+    with VideoEncoder(path, st, audio_from=wav) as enc:
+        for frame in make_synthetic_frames(width, height, frames):
+            y = frame.mean(axis=2).astype(np.uint8)
+            u = np.full((height // 2, width // 2), 128, np.uint8)
+            v = np.full((height // 2, width // 2), 128, np.uint8)
+            enc.write(y, u, v)
+    return path
+
+
+def make_vfr_clip(
+    path,
+    width: int = 128,
+    height: int = 96,
+    base_fps: int = 50,
+    frames: int = 40,
+    pattern: str = "gradient",
+) -> Path:
+    """Write a variable-frame-rate clip: timestamps alternate 1x/3x the base
+    tick, so avg_frame_rate and r_frame_rate diverge and the probe's VFR rule
+    (|avg - r| > 0.1, reference media_info.py:138) trips. Uses the in-process
+    encoder since cv2 cannot write irregular timestamps."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from ..hostio.encode import EncoderSettings, VideoEncoder
+
+    path = Path(path)
+    st = EncoderSettings(
+        codec="mpeg4", width=width, height=height, pix_fmt="yuv420p",
+        fps=Fraction(base_fps), bitrate="1M",
+    )
+    pts = 0
+    with VideoEncoder(path, st) as enc:
+        for i, frame in enumerate(
+            make_synthetic_frames(width, height, frames, pattern)
+        ):
+            # frame is BGR; take a cheap luma-ish plane split
+            y = frame.mean(axis=2).astype(np.uint8)
+            u = np.full((height // 2, width // 2), 128, np.uint8)
+            v = np.full((height // 2, width // 2), 128, np.uint8)
+            enc.write(y, u, v, pts=pts)
+            pts += 1 if i % 2 == 0 else 3
+    return path
+
+
 def make_gradient_clip(
     path,
     width: int = 320,
