@@ -142,7 +142,8 @@ def cmd_render(args) -> int:
         remember_lut(lut)
 
     manager = TaskManager(max_concurrency=args.concurrency,
-                          lut_strategy=args.lut_strategy)
+                          lut_strategy=args.lut_strategy,
+                          profile_dir=getattr(args, "profile", None))
     for task in batch.tasks:
         manager.add_task(task)
     return _run_queue(manager, args)
@@ -346,6 +347,7 @@ def build_parser() -> argparse.ArgumentParser:
     render.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
     render.add_argument("--save-queue", help="write queue state JSON when done")
+    render.add_argument("--profile", help="write a jax profiler trace to DIR")
     _add_param_flags(render)
     render.set_defaults(fn=cmd_render)
 

@@ -61,6 +61,16 @@ def derive_render_config(spec: RenderSpec, info: Optional[VideoInfo]) -> RenderC
             work_full = step.args.get("out_range") == "pc"
         elif step.kind == "dither":
             dither = str(step.args.get("mode", "ordered"))
+            if dither == "error_diffusion":
+                try:
+                    from ..native_ext import native_available
+
+                    dither = (
+                        "error_diffusion_host"
+                        if native_available() else "ordered"
+                    )
+                except Exception:
+                    dither = "ordered"
 
     # Matrix for YUV->RGB before the LUT: the resolved policy matrix, else the
     # source's own colorspace when recognized, else bt709 (FFmpeg's effective

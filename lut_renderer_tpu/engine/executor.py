@@ -90,6 +90,7 @@ def run_stage(
     batch_size: Optional[int] = None,
     interpret: bool = False,
     lut_strategy: str = "mxu",
+    profile_dir: Optional[str] = None,
 ) -> StageResult:
     log = log_cb or (lambda m: None)
     progress = progress_cb or (lambda p: None)
@@ -190,6 +191,19 @@ def run_stage(
             finally:
                 stats.decode_s += time.perf_counter() - t0
 
+        host_ed = cfg.dither == "error_diffusion_host"
+        if host_ed:
+            from ..native_ext import error_diffusion_quantize
+
+            def _finish(plane):
+                out = error_diffusion_quantize(plane, cfg.out_depth)
+                if out is None:  # native lib vanished mid-run: plain rounding
+                    maxv = (1 << cfg.out_depth) - 1
+                    out = np.clip(np.floor(plane + 0.5), 0, maxv).astype(
+                        np.uint8 if cfg.out_depth <= 8 else np.uint16
+                    )
+                return out
+
         def encode_loop():
             while True:
                 item = enc_q.get()
@@ -199,6 +213,12 @@ def run_stage(
                 t0 = time.perf_counter()
                 try:
                     for i in range(count):
+                        if host_ed:
+                            enc.write(_finish(yq[i]), _finish(uq[i]), _finish(vq[i]))
+                            stats.frames_out += 1
+                            if total_est:
+                                progress(min(99, int(100 * stats.frames_out / total_est)))
+                            continue
                         enc.write(yq[i], uq[i], vq[i])
                         stats.frames_out += 1
                         if total_est:
@@ -213,6 +233,19 @@ def run_stage(
         enc_thread = threading.Thread(target=encode_loop, daemon=True)
         dec_thread.start()
         enc_thread.start()
+
+        profiling = False
+        if profile_dir:
+            # device-level trace of the render loop (SURVEY.md §5.1: the
+            # rebuild's tracing replaces the reference's stderr scraping)
+            try:
+                import jax
+
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+                log(f"engine: jax profiler trace -> {profile_dir}")
+            except Exception as exc:
+                log(f"engine: profiler unavailable ({exc})")
 
         error: Optional[str] = None
         try:
@@ -246,6 +279,13 @@ def run_stage(
                 if error:
                     break
         finally:
+            if profiling:
+                try:
+                    import jax
+
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             cancel_set = cancel.is_set()
             if cancel_set or error:
                 cancel.set()

@@ -138,7 +138,12 @@ def render_yuv_frame(
     # 6. chroma subsample (on float values, pre-quantization)
     uo, vo = _downsample(uo, vo, cfg.out_subsampling)
 
-    # 7. quantize (+ ordered dither if requested)
+    # 7. quantize (+ ordered dither if requested). "error_diffusion_host"
+    # defers quantization: float planes return to the host where the native
+    # Floyd-Steinberg pass (serial, CPU) finishes the job — see
+    # engine.executor and native_ext.error_diffusion_quantize.
+    if cfg.dither == "error_diffusion_host":
+        return yo, uo, vo
     yq = quantize_plane(yo, cfg.out_depth, cfg.dither)
     uq = quantize_plane(uo, cfg.out_depth, cfg.dither)
     vq = quantize_plane(vo, cfg.out_depth, cfg.dither)

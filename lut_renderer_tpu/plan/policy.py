@@ -357,12 +357,15 @@ def build_render_spec(
 
         if pix_fmt:
             if (params.zscale_dither or "none") == "error_diffusion":
-                # TPU substitution: spatially-stationary ordered dither inside
-                # the fused kernel (see colorcore.dither for rationale).
-                spec.filters.append(FilterStep("dither", {"mode": "ordered"}))
+                # Execution picks exact host error diffusion (native C++)
+                # when available, else the TPU's spatially-stationary ordered
+                # dither (see colorcore.dither for rationale).
+                spec.filters.append(
+                    FilterStep("dither", {"mode": "error_diffusion"})
+                )
                 notes.append(
-                    "Dither: error_diffusion requested; using TPU ordered dither "
-                    "(error diffusion is serially dependent)"
+                    "Dither: error_diffusion (exact host pass when the native "
+                    "library is present, TPU ordered dither otherwise)"
                 )
             if lut_path:
                 spec.filters.append(FilterStep("format", {"pix_fmt": pix_fmt}))

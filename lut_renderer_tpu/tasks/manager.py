@@ -26,7 +26,8 @@ from .signals import Signal
 
 
 class TaskManager:
-    def __init__(self, max_concurrency: int = 1, lut_strategy: str = "mxu"):
+    def __init__(self, max_concurrency: int = 1, lut_strategy: str = "mxu",
+                 profile_dir=None):
         self.task_added = Signal("task_added")        # (task_id)
         self.task_updated = Signal("task_updated")    # (task_id)
         self.task_progress = Signal("task_progress")  # (task_id, int)
@@ -40,6 +41,7 @@ class TaskManager:
         self._lock = threading.RLock()
         self._max = max(1, max_concurrency)
         self._lut_strategy = lut_strategy
+        self._profile_dir = profile_dir
 
     # -- queue management ---------------------------------------------------
     def set_max_concurrency(self, value: int) -> None:
@@ -74,7 +76,8 @@ class TaskManager:
                 task = self.tasks.get(task_id)
                 if task is None or task.status != TaskStatus.PENDING:
                     continue
-                runner = TaskRunner(task, lut_strategy=self._lut_strategy)
+                runner = TaskRunner(task, lut_strategy=self._lut_strategy,
+                                    profile_dir=self._profile_dir)
                 runner.progress.connect(self._on_progress)
                 runner.status.connect(self._on_status)
                 runner.finished.connect(self._on_finished)

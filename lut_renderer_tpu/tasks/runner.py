@@ -67,9 +67,11 @@ def extract_cover(source: Path, dest: Path) -> None:
 
 
 class TaskRunner:
-    def __init__(self, task: Task, lut_strategy: str = "mxu"):
+    def __init__(self, task: Task, lut_strategy: str = "mxu",
+                 profile_dir=None):
         self.task = task
         self.lut_strategy = lut_strategy
+        self.profile_dir = profile_dir
         self.progress = Signal("progress")     # (task_id, int)
         self.status = Signal("status")         # (task_id, str)
         self.finished = Signal("finished")     # (task_id, str)
@@ -152,6 +154,7 @@ class TaskRunner:
                     log_cb=lambda m: self._log(m),
                     cancel=self._cancel,
                     lut_strategy=self.lut_strategy,
+                    profile_dir=self.profile_dir,
                 )
                 if result.canceled:
                     break

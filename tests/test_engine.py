@@ -79,7 +79,8 @@ def test_render_config_dither():
         LUT, info,
     )
     cfg = derive_render_config(spec, info)
-    assert cfg.dither == "ordered"
+    # exact host error diffusion when the native lib is present, else ordered
+    assert cfg.dither in ("error_diffusion_host", "ordered")
     assert cfg.out_depth == 8
 
 
