@@ -223,7 +223,33 @@ def cmd_probe(args) -> int:
                 print(f"  audio: {info.audio_codec} "
                       f"{info.audio_sample_rate}Hz ch={info.audio_channels} "
                       f"{info.audio_bitrate}")
+            if info.video_tags:
+                tags = ", ".join(f"{k}={v}" for k, v in list(info.video_tags.items())[:6])
+                print(f"  tags: {tags}")
+        if args.exiftool:
+            _print_exiftool(f)
     return status
+
+
+def _print_exiftool(path) -> None:
+    """Optional exiftool metadata, graceful on absence (reference:
+    main_window.py:2167-2186 shows exiftool output in the detail dialog only
+    when the binary exists)."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("exiftool")
+    if not exe:
+        print("  exiftool: not installed", file=sys.stderr)
+        return
+    try:
+        result = subprocess.run(
+            [exe, "-S", str(path)], capture_output=True, text=True, timeout=30
+        )
+        for line in result.stdout.splitlines()[:40]:
+            print(f"  exif: {line}")
+    except Exception as exc:
+        print(f"  exiftool failed: {exc}", file=sys.stderr)
 
 
 def cmd_presets(args) -> int:
@@ -363,6 +389,8 @@ def build_parser() -> argparse.ArgumentParser:
     probe = sub.add_parser("probe", help="print media info")
     probe.add_argument("files", nargs="+")
     probe.add_argument("--json", action="store_true")
+    probe.add_argument("--exiftool", action="store_true",
+                       help="append exiftool metadata when the tool exists")
     probe.set_defaults(fn=cmd_probe)
 
     presets = sub.add_parser("presets", help="manage presets")
