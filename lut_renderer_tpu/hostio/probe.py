@@ -221,9 +221,25 @@ def _probe_ffi(path: Path) -> VideoInfo:
                 ) >= 0:
                     sr = ffi.opt_get_int(actx, "ar")
                     info.audio_sample_rate = int(sr) if sr else None
-                    ch = ffi.opt_get_int(actx, "ac")
-                    if ch:
-                        info.audio_channels = int(ch)
+                    # channel count via ch_layout string (no "ac" AVOption)
+                    import ctypes as ct
+
+                    buf = ct.c_void_p(0)
+                    if ffi.avutil.av_opt_get(
+                        ct.c_void_p(actx), b"ch_layout", 0, ct.byref(buf)
+                    ) >= 0 and buf.value:
+                        layout = ct.string_at(buf.value).decode()
+                        ffi.avutil.av_free(buf)
+                        info.audio_channel_layout = layout
+                        named = {"mono": 1, "stereo": 2, "2.1": 3, "5.1": 6,
+                                 "7.1": 8}
+                        if layout in named:
+                            info.audio_channels = named[layout]
+                        elif layout and layout[0].isdigit():
+                            try:
+                                info.audio_channels = int(layout.split()[0])
+                            except ValueError:
+                                pass
             finally:
                 p = c_void_p(actx)
                 ffi.avcodec.avcodec_free_context(byref(p))
