@@ -54,6 +54,54 @@ def make_synthetic_frames(
         yield frame
 
 
+def make_10bit_prores_clip(path, width: int = 192, height: int = 108,
+                           fps: float = 25.0, frames: int = 12) -> Path:
+    """10-bit yuv422p10le ProRes clip with smooth gradients (banding-prone
+    content for dither tests), via the in-process encoder."""
+    from fractions import Fraction
+
+    from ..hostio.encode import EncoderSettings, VideoEncoder
+
+    path = Path(path)
+    st = EncoderSettings(
+        codec="prores_ks", width=width, height=height, pix_fmt="yuv422p10le",
+        fps=Fraction(int(fps)), profile="3",
+        color_primaries="bt709", color_trc="bt709", colorspace="bt709",
+        color_range="tv",
+    )
+    ramp = np.linspace(64, 940, width, dtype=np.uint16)[None, :]
+    with VideoEncoder(path, st) as enc:
+        for i in range(frames):
+            y = np.repeat(ramp + i, height, axis=0).clip(0, 1023).astype(np.uint16)
+            u = np.full((height, width // 2), 512 + 4 * i, np.uint16)
+            v = np.full((height, width // 2), 512 - 4 * i, np.uint16)
+            enc.write(y, u, v)
+    return path
+
+
+def make_fullrange_clip(path, width: int = 128, height: int = 96,
+                        fps: float = 25.0, frames: int = 10) -> Path:
+    """Legacy full-range clip: MJPEG with yuvj420p, the classic pc-range case
+    the policy normalizes (reference ffmpeg.py:129-143 + the yuvj->pc probe
+    imputation, media_info.py:145-147)."""
+    from fractions import Fraction
+
+    from ..hostio.encode import EncoderSettings, VideoEncoder
+
+    path = Path(path)
+    st = EncoderSettings(
+        codec="mjpeg", width=width, height=height, pix_fmt="yuvj420p",
+        fps=Fraction(int(fps)), qscale=2, color_range="pc",
+    )
+    with VideoEncoder(path, st) as enc:
+        for frame in make_synthetic_frames(width, height, frames):
+            y = frame.mean(axis=2).astype(np.uint8)
+            u = np.full((height // 2, width // 2), 128, np.uint8)
+            v = np.full((height // 2, width // 2), 128, np.uint8)
+            enc.write(y, u, v)
+    return path
+
+
 def make_sine_wav(path, seconds: float = 2.0, rate: int = 48000,
                   freq: float = 440.0) -> Path:
     """Stereo 16-bit sine WAV via the stdlib (no codec needed) — the audio
