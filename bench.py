@@ -21,8 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 H, W = 2160, 3840
-BATCH = 4
-ITERS = 4
+BATCH = 6
+ITERS = 5
 
 
 def _make_lut():

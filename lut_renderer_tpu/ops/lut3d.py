@@ -138,10 +138,11 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # ---------------------------------------------------------------------------
 
 def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
-                 idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
+                 fuse: bool, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
     """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
-    correction. Multi-pass interps (tetrahedral) run both passes in one
-    kernel invocation to share index loads, iotas, and grid overhead.
+    correction. For N<=33 the two tetrahedral passes and the hi/lo LUT halves
+    fuse into ONE (2*ROWS, N^2) @ (N^2, passes*BM) matmul (measured ~6%
+    faster end-to-end); larger LUTs keep per-pass matmuls for VMEM headroom.
 
     Precision model: the LUT matrix is exact (hi + lo bf16 halves, error
     ~2^-17). The weight matrix W is bf16 (error 2^-9 relative per element);
@@ -150,79 +151,103 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
     the residual is 2^-9 * cell-local LUT spread (~1e-4 for real LUTs),
     far inside the dE76 0.5 budget (verified against FFmpeg lut3d by
     tests/test_oracle_parity.py + tests/test_lut3d_op.py).
+
+    Mosaic constraints shaping the code: no 16-bit iota/compares; i1 masks
+    from 32-bit compares cannot feed bf16 selects; broadcast_to+reshape
+    outer products hide an expensive relayout (pltpu.repeat tile + iota
+    range-compares instead).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
     wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
     bm = idx.shape[1]
+    rows = lhi_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
-    lhi = lhi_ref[:]
-    llo = llo_ref[:]
 
+    # b-axis one-hot masks, shared across passes (f32: i1-from-i32 masks
+    # cannot select bf16 without an invalid relayout)
     pk = idx[2:3, :]
     nk = jnp.minimum(pk + 1, n - 1)
-    pkn = pk * n
-    nkn = nk * n
-    bmask_p = (t_iota >= pkn) & (t_iota < pkn + n)
-    bmask_n = (t_iota >= nkn) & (t_iota < nkn + n)
+    maskp = jnp.where((t_iota >= pk * n) & (t_iota < pk * n + n), 1.0, 0.0)
+    maskn = jnp.where((t_iota >= nk * n) & (t_iota < nk * n + n), 1.0, 0.0)
 
-    acc = [None, None, None]
+    ws, rvs, sums = [], [], []
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
 
         def tap(axis):
-            p = idx[axis:axis + 1, :]   # (1, BM), broadcasts over sublanes
+            p = idx[axis:axis + 1, :]
             nx = jnp.minimum(p + 1, n - 1)
             wp = wts[2 * axis:2 * axis + 1, :]
             wn = wts[2 * axis + 1:2 * axis + 2, :]
             return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
 
-        rv = tap(0)                     # f32; r-axis contraction stays f32
-        # Wt[k*N + j, p] = gv[j, p] * bweight[k, p] (outer product along
-        # sublanes, b-major layout matching prepare_lut's column order).
-        # g-factor: native bf16 tile (pltpu.repeat has TILE semantics, so
-        # repeating the (N, BM) tap block N times yields row t -> gv[t%N]).
-        # b-factor: elementwise repeat has no cheap Mosaic primitive; built
-        # from f32 range-compares on a flat row iota (16-bit iota/compares
-        # are unsupported; i1 masks from 32-bit compares cannot feed bf16
-        # selects without an invalid relayout) and cast once.
+        rvs.append(tap(0))              # f32 r-axis taps
         gv16 = tap(1).astype(jnp.bfloat16)
-        a = pltpu.repeat(gv16, n, axis=0)        # (N^2, BM), row t -> gv[t%N]
-        wbp = wts[4:5, :]
-        wbn = wts[5:6, :]
-        b32 = jnp.where(bmask_p, wbp, 0.0) + jnp.where(bmask_n, wbn, 0.0)
-        w = a * b32.astype(jnp.bfloat16)         # bf16 (N^2, BM)
-        t = jnp.dot(lhi, w, preferred_element_type=jnp.float32)
-        if exact:
-            # second matmul restores full f32 LUT precision (error ~2^-17);
-            # "fast" mode skips it, leaving <=2^-9 absolute LUT rounding
-            # (dE76 up to ~0.3 worst case - still inside the 0.5 budget,
-            # but not bit-depth-exact at 10-bit outputs)
-            t = t + jnp.dot(llo, w, preferred_element_type=jnp.float32)
-        # cancel bf16 weight rounding: true (g,b) weight sum vs measured
-        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+        a = pltpu.repeat(gv16, n, axis=0)        # tile: row t -> gv[t % N]
+        b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
+        ws.append(a * b32.astype(jnp.bfloat16))  # (N^2, BM) bf16
+        sums.append((wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :]))
+
+    ts = []
+    if fuse:
+        # lhi_ref here is the stacked [hi; lo] matrix (2*ROWS, N^2)
+        w_cat = ws[0] if n_passes == 1 else jnp.concatenate(ws, axis=1)
+        t2 = jnp.dot(lhi_ref[:], w_cat, preferred_element_type=jnp.float32)
+        half = rows // 2 if exact else rows
+        for ps in range(n_passes):
+            seg = t2[:, ps * bm:(ps + 1) * bm]
+            ts.append(seg[:half, :] + seg[half:, :] if exact else seg)
+    else:
+        lhi = lhi_ref[:]
+        llo = llo_ref[:]
+        for ps in range(n_passes):
+            t = jnp.dot(lhi, ws[ps], preferred_element_type=jnp.float32)
+            if exact:
+                t = t + jnp.dot(llo, ws[ps], preferred_element_type=jnp.float32)
+            ts.append(t)
+
+    acc = [None, None, None]
+    for ps in range(n_passes):
+        t = ts[ps]
         meas = t[ones_row:ones_row + 1, :]
-        scale = jnp.where(meas > 1e-12, true_sum / meas, 0.0)
+        scale = jnp.where(meas > 1e-12, sums[ps] / meas, 0.0)
         for c in range(3):
-            seg = t[c * n:(c + 1) * n, :]        # (N, BM) sublane slice
-            contrib = jnp.sum(seg * rv, axis=0) * scale[0, :]
+            seg = t[c * n:(c + 1) * n, :]
+            contrib = jnp.sum(seg * rvs[ps], axis=0) * scale[0, :]
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     for c in range(3):
         out_ref[c, :] = acc[c]
 
 
-def _run_passes(idx3, w_stack, lhi, llo, n: int, ones_row: int,
+def _run_passes(idx3, w_stack, prep, n: int,
                 n_passes: int, exact: bool, interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rows_pad, nsq = lhi.shape
+    rows_pad = prep.rows_pad
+    nsq = n * n
     npix = idx3.shape[1]
     bm = _block_pixels(n)
     assert npix % bm == 0
-    kernel = functools.partial(_pass_kernel, n, ones_row, n_passes, exact)
+    fuse = n <= 33
+    if fuse:
+        # the kernel derives hi/lo split from the stacked height vs `exact`
+        lmat_a = jnp.asarray(
+            np.concatenate([prep.lmat_hi, prep.lmat_lo], axis=0)
+            if exact else prep.lmat_hi,
+            jnp.bfloat16,
+        )
+        lmat_b = jnp.zeros((8, nsq), jnp.bfloat16)  # unused placeholder
+        a_rows = 2 * rows_pad if exact else rows_pad
+    else:
+        lmat_a = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
+        lmat_b = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
+        a_rows = rows_pad
+    kernel = functools.partial(_pass_kernel, n, prep.ones_row, n_passes, exact,
+                               fuse)
     nw = 6 * n_passes
     out = pl.pallas_call(
         kernel,
@@ -230,13 +255,13 @@ def _run_passes(idx3, w_stack, lhi, llo, n: int, ones_row: int,
         in_specs=[
             pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nw, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_rows, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lmat_b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(idx3, w_stack, lhi, llo)
+    )(idx3, w_stack, lmat_a, lmat_b)
     return out[:3]
 
 
@@ -291,12 +316,10 @@ def apply_lut_planes(
     pg, ng, dg = _scaled_coords(gf, n, dmin[1], dmax[1])
     pb, nb, db = _scaled_coords(bf, n, dmin[2], dmax[2])
 
-    lhi = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
-    llo = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
     idx3 = jnp.stack([pr, pg, pb])
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     w_stack = jnp.concatenate(passes, axis=0) if len(passes) > 1 else passes[0]
-    out = _run_passes(idx3, w_stack, lhi, llo, n, prep.ones_row,
+    out = _run_passes(idx3, w_stack, prep, n,
                       len(passes), precision != "fast", interpret)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
