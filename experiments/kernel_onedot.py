@@ -27,9 +27,8 @@ def kernel(idx_ref, w_ref, lcat_ref, out_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (N, BM), 0)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (NSQ, BM), 0)
     pk = idx[2:3, :]; nk = jnp.minimum(pk+1, N-1)
-    one16 = jnp.ones((), jnp.bfloat16); zero16 = jnp.zeros((), jnp.bfloat16)
-    maskp = jnp.where((t_iota >= pk*N) & (t_iota < pk*N + N), one16, zero16)
-    maskn = jnp.where((t_iota >= nk*N) & (t_iota < nk*N + N), one16, zero16)
+    maskp = jnp.where((t_iota >= pk*N) & (t_iota < pk*N + N), 1.0, 0.0)
+    maskn = jnp.where((t_iota >= nk*N) & (t_iota < nk*N + N), 1.0, 0.0)
     lcat = lcat_ref[:]
     ws = []
     rvs = []
@@ -43,15 +42,13 @@ def kernel(idx_ref, w_ref, lcat_ref, out_ref):
         rvs.append(tap(0))
         gv16 = tap(1).astype(jnp.bfloat16)
         a = pltpu.repeat(gv16, N, axis=0)
-        b16 = (maskp * wts[4:5, :].astype(jnp.bfloat16)
-               + maskn * wts[5:6, :].astype(jnp.bfloat16))
-        ws.append(a * b16)
+        b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
+        ws.append(a * b32.astype(jnp.bfloat16))
         sums.append((wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :]))
-    W = jnp.concatenate(ws, axis=1)                     # (NSQ, 2BM)
-    T2 = jnp.dot(lcat, W, preferred_element_type=jnp.float32)  # (256, 2BM)
     acc = [None]*3
     for ps in range(2):
-        t = T2[:ROWS, ps*BM:(ps+1)*BM] + T2[ROWS:, ps*BM:(ps+1)*BM]
+        T2 = jnp.dot(lcat, ws[ps], preferred_element_type=jnp.float32)
+        t = T2[:ROWS, :] + T2[ROWS:, :]
         meas = t[3*N:3*N+1, :]
         scale = jnp.where(meas > 1e-12, sums[ps] / meas, 0.0)
         for c in range(3):

