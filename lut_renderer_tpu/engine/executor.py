@@ -91,6 +91,7 @@ def run_stage(
     interpret: bool = False,
     lut_strategy: str = "mxu",
     profile_dir: Optional[str] = None,
+    use_mesh: Optional[bool] = None,
 ) -> StageResult:
     log = log_cb or (lambda m: None)
     progress = progress_cb or (lambda p: None)
@@ -146,7 +147,30 @@ def run_stage(
             dec.close()
             return StageResult(ok=False, error=f"encoder open failed: {exc}")
 
-        render_fn = make_render_fn(prep, cfg, interpret=interpret)
+        # Multi-chip: shard the frame batch over all visible devices
+        # (BASELINE config 5's frame-sharded pipeline). Auto-on when more
+        # than one device exists; batch rounds up to a mesh multiple.
+        import jax as _jax
+
+        devices = _jax.devices()
+        mesh = None
+        put_fn = None
+        if use_mesh is None:
+            use_mesh = len(devices) > 1
+        if use_mesh and len(devices) > 1:
+            from ..parallel import default_mesh, make_sharded_render_fn
+            from ..parallel.sharding import put_sharded
+
+            mesh = default_mesh(devices)
+            ndev = len(devices)
+            bsz = max(ndev, ((bsz + ndev - 1) // ndev) * ndev)
+            render_fn = make_sharded_render_fn(prep, cfg, mesh,
+                                               interpret=interpret)
+            put_fn = lambda *arrs: put_sharded(mesh, *arrs)  # noqa: E731
+            log(f"engine: frame batch sharded over {ndev} devices "
+                f"({devices[0].platform}), batch={bsz}")
+        else:
+            render_fn = make_render_fn(prep, cfg, interpret=interpret)
         sched = FrameScheduler(spec.fps_mode, fps)
 
         total_est = None
@@ -259,6 +283,8 @@ def run_stage(
                     error = f"decode failed: {a}"
                     break
                 t0 = time.perf_counter()
+                if put_fn is not None:
+                    a, b, c = put_fn(a, b, c)
                 yq, uq, vq = render_fn(a, b, c)
                 # device -> host (blocks until the batch is computed)
                 yq = np.asarray(yq)

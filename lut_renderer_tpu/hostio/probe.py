@@ -10,7 +10,6 @@ fallback when the FFI layer is unavailable.
 
 from __future__ import annotations
 
-import os
 from ctypes import byref, c_void_p
 from pathlib import Path
 from typing import Optional

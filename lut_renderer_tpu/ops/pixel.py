@@ -11,7 +11,7 @@ module) so host-reference parity holds.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,7 @@ from __future__ import annotations
 import threading
 import time
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 from ..engine import run_stage
 from ..hostio import probe_video

@@ -11,7 +11,7 @@ used by the FFI layout self-check, hostio tests, and the benchmark harness.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 
@@ -106,7 +106,6 @@ def make_sine_wav(path, seconds: float = 2.0, rate: int = 48000,
                   freq: float = 440.0) -> Path:
     """Stereo 16-bit sine WAV via the stdlib (no codec needed) — the audio
     seed for A/V fixtures."""
-    import struct
     import wave
 
     path = Path(path)
