@@ -138,6 +138,8 @@ def cmd_render(args) -> int:
         print(f"warning: {warning}", file=sys.stderr)
     if not batch.tasks:
         return 2
+    if args.dry_run:
+        return _print_plans(batch.tasks)
     if lut:
         remember_lut(lut)
 
@@ -147,6 +149,36 @@ def cmd_render(args) -> int:
     for task in batch.tasks:
         manager.add_task(task)
     return _run_queue(manager, args)
+
+
+def _print_plans(tasks) -> int:
+    """--dry-run: print each task's stage plans without executing — the
+    rebuild's analog of the reference logging the assembled FFmpeg command
+    and its decision notes (task_manager.py:82-84)."""
+    from ..plan import build_pipeline, build_render_spec
+
+    for task in tasks:
+        print(f"{task.display_name()}:")
+        for i, stage in enumerate(build_pipeline(task)):
+            spec = build_render_spec(
+                stage.source_path, stage.output_path, stage.params,
+                lut_path=stage.lut_path, source_info=task.source_info,
+                notes=stage.notes,
+            )
+            print(f"  stage {i + 1}: {stage.name}")
+            print(f"    {stage.source_path} -> {stage.output_path}")
+            print(f"    codec={spec.video_codec} pix_fmt={spec.pix_fmt or 'auto'} "
+                  f"fps_mode={spec.fps_mode} gop={spec.gop} "
+                  f"bitrate={spec.bitrate or '-'} maxrate={spec.maxrate or '-'}")
+            if spec.filters:
+                print(f"    pixel pipeline: {', '.join(repr(f) for f in spec.filters)}")
+            t = spec.color_tags
+            if t.any():
+                print(f"    tags: primaries={t.primaries} trc={t.trc} "
+                      f"colorspace={t.colorspace} range={t.range}")
+            for note in spec.notes:
+                print(f"    note: {note}")
+    return 0
 
 
 def _run_queue(manager, args) -> int:
@@ -374,6 +406,8 @@ def build_parser() -> argparse.ArgumentParser:
                         default="mxu", help=argparse.SUPPRESS)
     render.add_argument("--save-queue", help="write queue state JSON when done")
     render.add_argument("--profile", help="write a jax profiler trace to DIR")
+    render.add_argument("--dry-run", action="store_true",
+                        help="print the stage plans and policy notes, don't run")
     _add_param_flags(render)
     render.set_defaults(fn=cmd_render)
 

@@ -253,3 +253,19 @@ def test_cli_presets_roundtrip(capsys):
 def test_cli_encoders(capsys):
     assert cli_main(["encoders"]) == 0
     assert "prores_ks" in capsys.readouterr().out
+
+
+def test_cli_dry_run(tmp_path, capsys):
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+
+    clip = make_gradient_clip(tmp_path / "d.mp4", 64, 64, frames=4)
+    lut = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    rc = cli_main(["render", str(clip), "--lut", str(lut), "--mode", "pro",
+                   "--master-dir", str(tmp_path), "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stage 1: ProRes master" in out
+    assert "stage 2: Distribution encode" in out
+    assert "LUT output tags" in out
+    assert not list(tmp_path.glob("output/*"))  # nothing executed
