@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-INTERP_MODES = ("nearest", "trilinear", "tetrahedral")
+INTERP_MODES = ("nearest", "trilinear", "tetrahedral", "pyramid", "prism")
 
 
 def _prepare(rgb, lut_table, domain_min, domain_max, xp):
@@ -128,10 +128,92 @@ def apply_lut_tetrahedral(rgb, lut_table, domain_min=(0, 0, 0), domain_max=(1, 1
     return out
 
 
+def _corners(lut_table, prev, nxt):
+    r0, g0, b0 = prev[..., 0], prev[..., 1], prev[..., 2]
+    r1, g1, b1 = nxt[..., 0], nxt[..., 1], nxt[..., 2]
+    g = _gather
+    return {
+        (0, 0, 0): g(lut_table, r0, g0, b0),
+        (0, 0, 1): g(lut_table, r0, g0, b1),
+        (0, 1, 0): g(lut_table, r0, g1, b0),
+        (0, 1, 1): g(lut_table, r0, g1, b1),
+        (1, 0, 0): g(lut_table, r1, g0, b0),
+        (1, 0, 1): g(lut_table, r1, g0, b1),
+        (1, 1, 0): g(lut_table, r1, g1, b0),
+        (1, 1, 1): g(lut_table, r1, g1, b1),
+    }
+
+
+def apply_lut_pyramid(rgb, lut_table, domain_min=(0, 0, 0), domain_max=(1, 1, 1), xp=np):
+    """FFmpeg interp_pyramid: bilinear over two axes on the prev-plane of the
+    smallest-delta axis, plus a linear step along that axis via c111 minus
+    the all-next-except-X corner."""
+    scaled, n = _prepare(rgb, lut_table, domain_min, domain_max, xp)
+    prev = xp.floor(scaled).astype(xp.int32)
+    nxt = xp.minimum(prev + 1, n - 1)
+    d = scaled - prev.astype(scaled.dtype)
+    dr, dg, db = d[..., 0:1], d[..., 1:2], d[..., 2:3]
+    c = _corners(lut_table, prev, nxt)
+
+    m1 = ((dg > dr) & (db > dr))
+    m2 = ((dr > dg) & (db > dg))
+    case1 = (
+        c[0, 0, 0]
+        + (c[1, 1, 1] - c[0, 1, 1]) * dr
+        + (c[0, 1, 0] - c[0, 0, 0]) * dg
+        + (c[0, 0, 1] - c[0, 0, 0]) * db
+        + (c[0, 1, 1] - c[0, 0, 1] - c[0, 1, 0] + c[0, 0, 0]) * dg * db
+    )
+    case2 = (
+        c[0, 0, 0]
+        + (c[1, 0, 0] - c[0, 0, 0]) * dr
+        + (c[1, 1, 1] - c[1, 0, 1]) * dg
+        + (c[0, 0, 1] - c[0, 0, 0]) * db
+        + (c[1, 0, 1] - c[1, 0, 0] - c[0, 0, 1] + c[0, 0, 0]) * dr * db
+    )
+    case3 = (
+        c[0, 0, 0]
+        + (c[1, 0, 0] - c[0, 0, 0]) * dr
+        + (c[0, 1, 0] - c[0, 0, 0]) * dg
+        + (c[1, 1, 1] - c[1, 1, 0]) * db
+        + (c[1, 1, 0] - c[1, 0, 0] - c[0, 1, 0] + c[0, 0, 0]) * dr * dg
+    )
+    return xp.where(m1, case1, xp.where(m2, case2, case3))
+
+
+def apply_lut_prism(rgb, lut_table, domain_min=(0, 0, 0), domain_max=(1, 1, 1), xp=np):
+    """FFmpeg interp_prism: simplex (triangle) interpolation in the (r, b)
+    plane, linear along g between the two g-planes."""
+    scaled, n = _prepare(rgb, lut_table, domain_min, domain_max, xp)
+    prev = xp.floor(scaled).astype(xp.int32)
+    nxt = xp.minimum(prev + 1, n - 1)
+    d = scaled - prev.astype(scaled.dtype)
+    dr, dg, db = d[..., 0:1], d[..., 1:2], d[..., 2:3]
+    c = _corners(lut_table, prev, nxt)
+
+    m = db > dr
+
+    def plane(gi):
+        # triangle weights over (r, b) within the g=gi plane
+        v00 = c[0, gi, 0]
+        v01 = c[0, gi, 1]
+        v10 = c[1, gi, 0]
+        v11 = c[1, gi, 1]
+        upper = (1 - db) * v00 + (db - dr) * v01 + dr * v11   # db > dr
+        lower = (1 - dr) * v00 + (dr - db) * v10 + db * v11   # dr >= db
+        return xp.where(m, upper, lower)
+
+    f0 = plane(0)
+    f1 = plane(1)
+    return f0 * (1 - dg) + f1 * dg
+
+
 _FUNCS = {
     "nearest": apply_lut_nearest,
     "trilinear": apply_lut_trilinear,
     "tetrahedral": apply_lut_tetrahedral,
+    "pyramid": apply_lut_pyramid,
+    "prism": apply_lut_prism,
 }
 
 

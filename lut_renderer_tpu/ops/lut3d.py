@@ -130,6 +130,53 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
         p2 = [w for is_m in (is_min_r, is_min_g, is_min_b) for w in pass2_axis(is_m)]
         return [jnp.stack(p1), jnp.stack(p2)]
 
+    if interp == "pyramid":
+        # FFmpeg interp_pyramid: X = the smallest-delta ("linear") axis;
+        # pass 1 = bilinear over the other two axes on X's prev plane
+        # (X one-hot prev); pass 2 = dX * (c111 - c[X=prev, others=next])
+        # expressed as X-taps (-dX, +dX) with the other axes one-hot next.
+        m1 = (dg > dr) & (db > dr)   # X = r
+        m2 = (dr > dg) & (db > dg)   # X = g (elif)
+        is_x_r = m1
+        is_x_g = m2 & ~m1
+        is_x_b = ~m1 & ~m2
+
+        def p1_axis(is_x, d):
+            wp = jnp.where(is_x, 1.0, 1.0 - d)
+            wn = jnp.where(is_x, 0.0, d)
+            return wp, wn
+
+        def p2_axis(is_x, d):
+            wp = jnp.where(is_x, -d, 0.0)
+            wn = jnp.where(is_x, d, 1.0)
+            return wp, wn
+
+        p1 = [w for is_x, d in ((is_x_r, dr), (is_x_g, dg), (is_x_b, db))
+              for w in p1_axis(is_x, d)]
+        p2 = [w for is_x, d in ((is_x_r, dr), (is_x_g, dg), (is_x_b, db))
+              for w in p2_axis(is_x, d)]
+        return [jnp.stack(p1), jnp.stack(p2)]
+
+    if interp == "prism":
+        # FFmpeg interp_prism: triangle over (r, b), linear along g. The
+        # triangle splits into one rank-1 term per r tap.
+        m = db > dr
+        ones = jnp.ones_like(dr)
+        zeros = jnp.zeros_like(dr)
+        p1 = [
+            ones, zeros,                                  # r one-hot prev
+            1.0 - dg, dg,                                 # g linear
+            jnp.where(m, 1.0 - db, 1.0 - dr),             # b prev tap
+            jnp.where(m, db - dr, 0.0),                   # b next tap
+        ]
+        p2 = [
+            zeros, ones,                                  # r one-hot next
+            1.0 - dg, dg,
+            jnp.where(m, 0.0, dr - db),
+            jnp.where(m, dr, db),
+        ]
+        return [jnp.stack(p1), jnp.stack(p2)]
+
     raise ValueError(f"unknown interp {interp!r}")
 
 
@@ -214,7 +261,12 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
     for ps in range(n_passes):
         t = ts[ps]
         meas = t[ones_row:ones_row + 1, :]
-        scale = jnp.where(meas > 1e-12, sums[ps] / meas, 0.0)
+        # Correction only applies to passes whose (g,b) weight sum is
+        # substantial: zero-sum passes (pyramid's difference pass, where
+        # weights are (-dX, +dX)) and tiny sums (tetrahedral with dmid -> 0)
+        # must pass through uncorrected — their bf16 rounding error is
+        # proportionally tiny.
+        scale = jnp.where(jnp.abs(meas) > 0.01, sums[ps] / meas, 1.0)
         for c in range(3):
             seg = t[c * n:(c + 1) * n, :]
             contrib = jnp.sum(seg * rvs[ps], axis=0) * scale[0, :]
@@ -286,7 +338,7 @@ def apply_lut_planes(
     strategy: "mxu" (Pallas kernel) or "gather" (XLA gather fallback — exact
     but slow on TPU; useful for tiny inputs and cross-checks).
     """
-    if interp not in ("nearest", "trilinear", "tetrahedral"):
+    if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
     shape = r.shape
     n = prep.size

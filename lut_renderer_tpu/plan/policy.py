@@ -44,7 +44,7 @@ VALID_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism", "cubi
 # Interp modes natively implemented by the TPU kernel; others fall back like
 # the reference falls back unknown names (pyramid/prism/cubic are accepted
 # names upstream but the engine maps them to tetrahedral with a note).
-KERNEL_INTERP = {"nearest", "trilinear", "tetrahedral"}
+KERNEL_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism"}
 
 TEN_BIT_CODECS = {"prores_ks", "libx265", "hevc_videotoolbox"}
 

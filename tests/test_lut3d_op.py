@@ -27,7 +27,7 @@ def _reference(r, g, b, lut, interp):
     return out[..., 0], out[..., 1], out[..., 2]
 
 
-@pytest.mark.parametrize("interp", ["nearest", "trilinear", "tetrahedral"])
+@pytest.mark.parametrize("interp", ["nearest", "trilinear", "tetrahedral", "pyramid", "prism"])
 def test_mxu_matches_reference_random_lut(interp, random_lut, rng):
     r, g, b = _rand_rgb_planes(rng)
     prep = prepare_lut(random_lut)

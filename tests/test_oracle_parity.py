@@ -25,7 +25,7 @@ def cube33(tmp_path_factory, ):
     return path, lut
 
 
-@pytest.mark.parametrize("interp", ["tetrahedral", "trilinear", "nearest"])
+@pytest.mark.parametrize("interp", ["tetrahedral", "trilinear", "nearest", "pyramid", "prism"])
 def test_parity_vs_ffmpeg_lut3d(cube33, interp, rng):
     path, lut = cube33
     rgb = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)

@@ -84,9 +84,17 @@ def test_interp_fallback_unknown():
 
 
 def test_interp_accepted_but_unimplemented_maps_to_tetrahedral():
-    spec = spec_for(lut_interp="prism")
+    """'cubic' is in the reference's accepted list (ffmpeg.py:243) but
+    FFmpeg's lut3d rejects it at runtime; here it degrades to tetrahedral
+    with a note instead of failing."""
+    spec = spec_for(lut_interp="cubic")
     assert spec.lut_interp == "tetrahedral"
     assert any("not implemented natively" in n for n in spec.notes)
+
+
+def test_interp_pyramid_prism_native():
+    for interp in ("pyramid", "prism"):
+        assert spec_for(lut_interp=interp).lut_interp == interp
 
 
 def test_trilinear_kept():
