@@ -114,6 +114,7 @@ def _params_from_args(args) -> ProcessingParams:
 
 
 def cmd_render(args) -> int:
+    from . import load_settings, save_settings
     from ..tasks import TaskManager
 
     params = _params_from_args(args)
@@ -121,13 +122,25 @@ def cmd_render(args) -> int:
     if lut and not lut.exists():
         print(f"error: LUT not found: {lut}", file=sys.stderr)
         return 2
+    # master dir: explicit flag wins; else the remembered setting (the
+    # reference persists the cache dir under `intermediate_dir`).
+    master_dir = args.master_dir
+    if params.processing_mode == "pro":
+        settings = load_settings()
+        if not master_dir:
+            master_dir = settings.get("intermediate_dir") or None
+            if master_dir:
+                print(f"using remembered master dir: {master_dir}")
+        elif settings.get("intermediate_dir") != master_dir:
+            settings["intermediate_dir"] = master_dir
+            save_settings(settings)
     try:
         batch = create_tasks(
             [Path(p) for p in args.files],
             params,
             lut_path=lut,
             out_dir=Path(args.out_dir) if args.out_dir else None,
-            master_dir=Path(args.master_dir) if args.master_dir else None,
+            master_dir=Path(master_dir) if master_dir else None,
         )
     except ValueError as exc:
         print(f"error: {exc}", file=sys.stderr)

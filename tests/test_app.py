@@ -269,3 +269,25 @@ def test_cli_dry_run(tmp_path, capsys):
     assert "stage 2: Distribution encode" in out
     assert "LUT output tags" in out
     assert not list(tmp_path.glob("output/*"))  # nothing executed
+
+
+def test_cli_remembers_master_dir(tmp_path, capsys):
+    """--master-dir persists as the `intermediate_dir` setting (reference
+    stores the cache dir in settings); later pro runs reuse it."""
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+
+    clip = make_gradient_clip(tmp_path / "m.mp4", 64, 64, frames=4)
+    lut = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    master = tmp_path / "masters"
+    master.mkdir()
+    rc = cli_main(["render", str(clip), "--lut", str(lut), "--mode", "pro",
+                   "--master-dir", str(master), "--dry-run"])
+    assert rc == 0
+    assert load_settings().get("intermediate_dir") == str(master)
+    capsys.readouterr()
+    # second run without the flag uses the remembered dir
+    rc = cli_main(["render", str(clip), "--lut", str(lut), "--mode", "pro",
+                   "--dry-run"])
+    assert rc == 0
+    assert "using remembered master dir" in capsys.readouterr().out
