@@ -203,7 +203,12 @@ def _run_queue(manager, args) -> int:
 
     def on_progress(task_id, pct):
         if args.progress:
-            print(f"[{names.get(task_id, task_id)[:24]}] {pct}%", flush=True)
+            # overall = mean progress across the queue (the reference's
+            # window-title/taskbar aggregation, main_window.py:331-371)
+            tasks = list(manager.tasks.values())
+            overall = sum(t.progress for t in tasks) // max(1, len(tasks))
+            print(f"[{names.get(task_id, task_id)[:24]}] {pct}%  "
+                  f"(queue {overall}%)", flush=True)
 
     manager.task_log.connect(on_log)
     manager.task_progress.connect(on_progress)
