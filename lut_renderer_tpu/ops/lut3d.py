@@ -236,6 +236,8 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
         a = pltpu.repeat(gv16, n, axis=0)        # tile: row t -> gv[t % N]
         b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
         ws.append(a * b32.astype(jnp.bfloat16))  # (N^2, BM) bf16
+        # (building the b-factor at bf16 width via pre-cast masks measured
+        # SLOWER: 73 vs 62 ms/4K tetra — the f32 selects win)
         sums.append((wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :]))
 
     ts = []
