@@ -17,10 +17,16 @@ the VPU. Exact decomposition per interp mode:
               taps (1-dmax) at prev and (dmax-dmid) at next, the other axes
               are one-hot at prev; pass 2 covers {c_step2, c111}: the MIN
               axis taps (dmid-dmin) at prev and dmin at next, the others are
-              one-hot at next.
+              one-hot at next
+  pyramid     2 passes: bilinear over two axes on the small-delta axis's
+              prev plane; then X-taps (-dX, +dX) with the others one-hot next
+  prism       2 passes: triangle over (r, b) split per r tap, linear g
 
-All math is float32, bit-compatible with the colorcore reference interpolators
-up to matmul reassociation (~1e-6), validated by tests/test_lut3d_op.py.
+Numerics: corrected-bf16 on the MXU (precision model in _pass_kernel's
+docstring) — ~1e-4 absolute vs the f32 colorcore reference, dE76 vs FFmpeg
+lut3d ~1e-4, validated by tests/test_lut3d_op.py + tests/test_oracle_parity.
+precision="fast" halves the matmuls for ~1.3x speed at dE76 <= ~0.46
+worst-case (opt-in).
 """
 
 from __future__ import annotations
@@ -54,7 +60,7 @@ def lut3d_tpu_available() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# XLA side: per-pass transposed tap vectors (N, P)
+# XLA side: coordinates and compact per-pass tap weights
 # ---------------------------------------------------------------------------
 
 def _scaled_coords(x: jnp.ndarray, n: int, dmin, dmax):

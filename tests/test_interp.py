@@ -107,7 +107,7 @@ def test_jax_matches_numpy(random_lut, rng):
     import jax.numpy as jnp
 
     rgb = _rand_rgb(rng, 2048)
-    for mode in ("nearest", "trilinear", "tetrahedral"):
+    for mode in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         np_out = apply_lut(rgb, random_lut, mode, xp=np)
         jx_out = np.asarray(
             apply_lut(jnp.asarray(rgb), jnp.asarray(random_lut.table), mode, xp=jnp)
