@@ -193,9 +193,10 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
                  fuse: bool, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
     """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
-    correction. For N<=33 the two tetrahedral passes and the hi/lo LUT halves
-    fuse into ONE (2*ROWS, N^2) @ (N^2, passes*BM) matmul (measured ~6%
-    faster end-to-end); larger LUTs keep per-pass matmuls for VMEM headroom.
+    correction. For N<=33 both passes run in one kernel invocation with one
+    stacked-[hi;lo] dot per pass (concatenating the pass weight matrices
+    into a single dot costs a 4.5 MB VMEM copy per tile — 6 ms/4K frame,
+    measured); larger LUTs keep separate hi/lo matmuls for VMEM headroom.
 
     Precision model: the LUT matrix is exact (hi + lo bf16 halves, error
     ~2^-17). The weight matrix W is bf16 (error 2^-9 relative per element);

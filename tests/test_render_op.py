@@ -171,3 +171,18 @@ def test_render_dE_vs_float_reference(rng, random_lut):
     de = delta_e76(got_m, ref_m)
     assert float(np.mean(de)) < 0.5
     assert float(np.max(de)) < 3.0
+
+
+def test_render_odd_tile_sizes(rng):
+    """Dimensions not aligned to 8x128 tiles flow through the padding path."""
+    from lut_renderer_tpu.colorcore import Lut3D
+    from lut_renderer_tpu.ops import prepare_lut
+
+    y = rng.integers(30, 225, (54, 76), dtype=np.uint8)
+    u = rng.integers(118, 138, (27, 38), dtype=np.uint8)
+    v = rng.integers(118, 138, (27, 38), dtype=np.uint8)
+    prep = prepare_lut(Lut3D.identity(9))
+    yq, uq, vq = render_yuv_frame(y, u, v, prep, RenderConfig(), interpret=True)
+    assert yq.shape == (54, 76) and uq.shape == (27, 38)
+    dy = np.abs(np.asarray(yq).astype(int) - y.astype(int))
+    assert dy.max() <= 2
