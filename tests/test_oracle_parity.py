@@ -59,3 +59,20 @@ def test_rgb48_path(cube33):
     ours = apply_lut((rgb16.astype(np.float32) / 65535.0), lut, "tetrahedral")
     got = out16.astype(np.float32) / 65535.0
     assert float(np.abs(got - ours).max()) < 2.0 / 65535.0
+
+
+def test_parity_65cube(tmp_path):
+    """65^3 LUTs (config 2's size) hold the same parity."""
+    rng = np.random.default_rng(13)
+    lut = Lut3D.identity(65)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.03, 0.03, lut.table.shape).astype(np.float32),
+        0, 1,
+    )
+    path = write_cube_file(tmp_path / "p65.cube", lut)
+    rgb = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    for interp in ("tetrahedral", "trilinear"):
+        with Lut3DOracle(path, interp, "gbrpf32le", 64, 64) as oracle:
+            ffm = oracle.apply_rgb_float(rgb)
+        ours = apply_lut(rgb, lut, interp)
+        assert max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1)) < 0.01
