@@ -190,7 +190,7 @@ class TaskRunner:
             self._cleanup_intermediates(stages, failed=False)
             self.progress.emit(task.task_id, 100)
             self.status.emit(task.task_id, TaskStatus.COMPLETED.value)
-            self._log("completed")
+            self._log(f"completed in {time.time() - task.started_at:.1f}s")
             self.finished.emit(task.task_id, TaskStatus.COMPLETED.value)
 
         except Exception as exc:
