@@ -213,7 +213,18 @@ def _run_queue(manager, args) -> int:
     manager.task_log.connect(on_log)
     manager.task_progress.connect(on_progress)
     manager.start_all()
-    manager.wait_all()
+    try:
+        manager.wait_all()
+    except KeyboardInterrupt:
+        # first Ctrl-C: cooperative cancel (in-flight stages stop at the next
+        # batch; partial outputs/masters are cleaned up by the runners)
+        print("\ncanceling queue...", file=sys.stderr)
+        for task_id in list(manager.tasks):
+            manager.cancel_task(task_id)
+        try:
+            manager.wait_all(timeout=120)
+        except KeyboardInterrupt:
+            print("force exit", file=sys.stderr)
 
     if getattr(args, "save_queue", None):
         manager.save_queue(args.save_queue)
