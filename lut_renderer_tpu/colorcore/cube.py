@@ -107,6 +107,13 @@ def parse_cube(text: str, name: str = "<string>") -> Lut3D:
         raise CubeParseError(f"{name}: missing LUT_3D_SIZE")
     if not (MIN_LUT_SIZE <= size <= MAX_LUT_SIZE):
         raise CubeParseError(f"{name}: unsupported LUT_3D_SIZE {size}")
+    if not np.all(domain_max > domain_min):
+        # A zero/negative span would divide by zero in coordinate scaling
+        # (interp._prepare / ops.lut3d._scaled_coords).
+        raise CubeParseError(
+            f"{name}: DOMAIN_MAX must exceed DOMAIN_MIN per channel "
+            f"(min={domain_min.tolist()}, max={domain_max.tolist()})"
+        )
 
     expected = size * size * size
     # np.fromstring with an explicit sep is the fast text path (not deprecated;
@@ -141,9 +148,36 @@ def parse_cube_file(path: Union[str, Path]) -> Lut3D:
         parsed = None
     if parsed is not None:
         table, dmin, dmax = parsed
-        return Lut3D(table=table, title="", domain_min=dmin, domain_max=dmax)
+        if not np.all(np.asarray(dmax) > np.asarray(dmin)):
+            raise CubeParseError(
+                f"{path}: DOMAIN_MAX must exceed DOMAIN_MIN per channel "
+                f"(min={np.asarray(dmin).tolist()}, "
+                f"max={np.asarray(dmax).tolist()})"
+            )
+        return Lut3D(table=table, title=_scan_title(path),
+                     domain_min=dmin, domain_max=dmax)
     text = path.read_text(encoding="utf-8", errors="replace")
     return parse_cube(text, name=str(path))
+
+
+def _scan_title(path: Path) -> str:
+    """Cheap TITLE scan of the header so the native fast path yields the same
+    Lut3D metadata as the pure-Python parser (write_cube_file round-trips)."""
+    try:
+        with path.open("r", encoding="utf-8", errors="replace") as fh:
+            for _ in range(64):  # TITLE lives in the header, before data rows
+                line = fh.readline()
+                if not line:
+                    break
+                s = line.strip()
+                if s.upper().startswith("TITLE"):
+                    parts = s.split(None, 1)
+                    return parts[1].strip().strip('"') if len(parts) > 1 else ""
+                if s and not s.startswith("#") and s[0] in "-+.0123456789":
+                    break  # reached data rows
+    except OSError:
+        pass
+    return ""
 
 
 def write_cube_file(path: Union[str, Path], lut: Lut3D) -> Path:

@@ -47,20 +47,29 @@ def make_sharded_render_fn(
     Frames are independent -> out_specs mirror in_specs and XLA inserts no
     collectives; scaling rides ICI-local HBM only.
     """
-    from jax.experimental.shard_map import shard_map
-
     spec = P(FRAME_AXIS)
 
     def step(y, u, v):
         return render_yuv_frame(y, u, v, prep, cfg, interpret=interpret)
 
-    sharded = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec, spec, spec),
-        check_rep=False,
-    )
+    if hasattr(jax, "shard_map"):  # public API (JAX >= 0.6)
+        sharded = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+    else:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
+
+        sharded = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec),
+            check_rep=False,
+        )
     return jax.jit(sharded)
 
 

@@ -95,16 +95,22 @@ class TaskManager:
 
     # -- task control -------------------------------------------------------
     def cancel_task(self, task_id: str) -> None:
+        """Cancel a PENDING or RUNNING task. Finished tasks (COMPLETED /
+        FAILED / CANCELED) are left untouched so a queue-wide cancel (e.g.
+        the CLI's Ctrl-C loop) never rewrites completed work as canceled."""
         with self._lock:
             runner = self.runners.get(task_id)
             if task_id in self._pending:
                 self._pending.remove(task_id)
+        task = self.tasks.get(task_id)
+        if task is None or task.status not in (
+            TaskStatus.PENDING, TaskStatus.RUNNING
+        ):
+            return
         if runner:
             runner.cancel()
-        task = self.tasks.get(task_id)
-        if task:
-            task.status = TaskStatus.CANCELED
-            self.task_updated.emit(task_id)
+        task.status = TaskStatus.CANCELED
+        self.task_updated.emit(task_id)
 
     def clear_completed(self) -> None:
         done = {TaskStatus.COMPLETED, TaskStatus.FAILED, TaskStatus.CANCELED}

@@ -87,7 +87,7 @@ class TaskRunner:
         self.status.emit(task.task_id, TaskStatus.RUNNING.value)
         self._log("started")
         task.started_at = time.time()
-        made_paths = []
+        stages = []
 
         try:
             stages = build_pipeline(task)
@@ -145,7 +145,6 @@ class TaskRunner:
                         task.task_id, min(base + sp, 100 if final else 99)
                     )
 
-                made_paths.append(stage.output_path)
                 result = run_stage(
                     spec,
                     stage_info,
@@ -196,6 +195,9 @@ class TaskRunner:
         except Exception as exc:
             self.status.emit(task.task_id, f"{TaskStatus.FAILED.value}: {exc}")
             self._log(f"failed: {exc}")
+            # keep the no-leaked-master promise even when the failure is an
+            # exception outside run_stage (e.g. spec/LUT loading for stage 2)
+            self._cleanup_intermediates(stages, failed=True)
             self.finished.emit(task.task_id, TaskStatus.FAILED.value)
 
     def _cleanup_intermediates(self, stages, failed: bool) -> None:

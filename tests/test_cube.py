@@ -74,3 +74,22 @@ def test_identity_helper():
     lut = Lut3D.identity(3)
     np.testing.assert_allclose(lut.table[2, 2, 2], [1, 1, 1])
     np.testing.assert_allclose(lut.table[1, 0, 2], [0.5, 0.0, 1.0])
+
+
+def test_parse_degenerate_domain_rejected():
+    text = (
+        "LUT_3D_SIZE 2\n"
+        "DOMAIN_MIN 0.0 0.5 0.0\n"
+        "DOMAIN_MAX 1.0 0.5 1.0\n"  # zero span on green
+        "0 0 0\n1 0 0\n0 1 0\n1 1 0\n0 0 1\n1 0 1\n0 1 1\n1 1 1\n"
+    )
+    with pytest.raises(CubeParseError):
+        parse_cube(text)
+
+
+def test_parse_file_keeps_title_on_native_path(tmp_path):
+    lut = Lut3D.identity(3)
+    lut.title = "My Look v2"
+    path = write_cube_file(tmp_path / "titled.cube", lut)
+    parsed = parse_cube_file(path)  # native fast path when available
+    assert parsed.title == "My Look v2"

@@ -177,3 +177,52 @@ def test_runner_cover_extraction(clip, lut, tmp_path):
     runner.run()
     assert task.status != TaskStatus.FAILED or True
     assert cover.exists() and cover.stat().st_size > 100
+
+
+def test_cancel_task_preserves_finished_statuses(clip, lut, tmp_path):
+    """A queue-wide cancel sweep (the CLI Ctrl-C loop) must not rewrite
+    finished tasks as CANCELED (advisor finding, round 1)."""
+    mgr = TaskManager(lut_strategy="gather")
+    done = _task(clip, lut, tmp_path / "e1_out.mov")
+    failed = _task(clip, lut, tmp_path / "e2_out.mov")
+    pending = _task(clip, lut, tmp_path / "e3_out.mov")
+    mgr.add_tasks([done, failed, pending])
+    done.status = TaskStatus.COMPLETED
+    failed.status = TaskStatus.FAILED
+    for tid in list(mgr.tasks):
+        mgr.cancel_task(tid)
+    assert done.status == TaskStatus.COMPLETED
+    assert failed.status == TaskStatus.FAILED
+    assert pending.status == TaskStatus.CANCELED
+
+
+def test_runner_exception_cleans_master(clip, lut, tmp_path, monkeypatch):
+    """An exception OUTSIDE run_stage (stage-2 LUT load) still removes the
+    stage-1 master (advisor finding: the outer except leaked it)."""
+    import lut_renderer_tpu.tasks.runner as runner_mod
+
+    master_dir = tmp_path / "m3"
+    master_dir.mkdir()
+    intermediate = master_dir / "c_master.mov"
+    params = ProcessingParams(
+        processing_mode="pro", video_codec="mpeg4", bitrate="1M"
+    )
+    task = _task(clip, lut, tmp_path / "exc_out.mp4", mode="pro",
+                 intermediate=intermediate, params=params)
+
+    real_build = runner_mod.build_render_spec
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # stage 2's spec construction
+            raise RuntimeError("synthetic stage-2 failure")
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(runner_mod, "build_render_spec", boom)
+    runner = TaskRunner(task, lut_strategy="gather")
+    statuses = []
+    runner.finished.connect(lambda tid, s: statuses.append(s))
+    runner.run()
+    assert statuses == [TaskStatus.FAILED.value]
+    assert not intermediate.exists()
