@@ -45,6 +45,25 @@ def test_sharded_matches_single_device(mesh, rng, random_lut):
         assert (diff > 0).mean() < 1e-3
 
 
+def test_sharded_mxu_kernel_matches_single_device(mesh, rng, random_lut):
+    """The PRODUCTION Pallas MXU kernel under shard_map (interpret mode on
+    the CPU mesh exercises the exact program structure a pod runs: per-shard
+    pallas_call with the LUT matrix replicated)."""
+    prep = prepare_lut(random_lut)
+    cfg = RenderConfig(interp="tetrahedral", lut_strategy="mxu")
+    batch = shard_batch_size(mesh, per_device_frames=2)
+    y, u, v = _inputs(rng, batch)
+    fn = make_sharded_render_fn(prep, cfg, mesh, interpret=True)
+    ys, us, vs = put_sharded(mesh, y, u, v)
+    yq, uq, vq = fn(ys, us, vs)
+    ref = render_yuv_frame(y, u, v, prep, cfg, interpret=True)
+    for got, want in ((yq, ref[0]), (uq, ref[1]), (vq, ref[2])):
+        diff = np.abs(np.asarray(got).astype(int) - np.asarray(want).astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+    assert len(yq.sharding.device_set) == 8  # stays frame-sharded
+
+
 def test_sharded_output_sharding_preserved(mesh, rng, identity_lut):
     """Outputs stay sharded along the frame axis (no implicit gather)."""
     prep = prepare_lut(identity_lut)
