@@ -241,7 +241,12 @@ def _run_queue(manager, args) -> int:
 
 
 def cmd_resume(args) -> int:
-    """Resume a saved queue: PENDING (and interrupted RUNNING) tasks run."""
+    """Resume a saved queue: PENDING (and interrupted RUNNING) tasks run.
+
+    --reapply re-snapshots the CLI's current parameter flags onto every
+    pending task before starting (smart defaults re-run per source, fresh
+    output paths) — the reference's apply-settings-to-pending-on-Start
+    behavior (main_window.py:2557-2612)."""
     from ..tasks import TaskManager
 
     manager = TaskManager(max_concurrency=args.concurrency,
@@ -251,6 +256,14 @@ def cmd_resume(args) -> int:
     print(f"loaded {n} tasks ({pending} pending)")
     if not pending:
         return 0
+    if args.reapply:
+        params = _params_from_args(args)
+        lut = Path(args.lut) if getattr(args, "lut", None) else None
+        if lut and not lut.exists():
+            print(f"error: LUT not found: {lut}", file=sys.stderr)
+            return 2
+        changed = manager.apply_params_to_pending(params, lut_path=lut)
+        print(f"re-applied current settings to {changed} pending task(s)")
     return _run_queue(manager, args)
 
 
@@ -447,6 +460,11 @@ def build_parser() -> argparse.ArgumentParser:
     resume.add_argument("--save-queue", help="write queue state JSON when done")
     resume.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
+    resume.add_argument("--reapply", action="store_true",
+                        help="re-apply the current parameter flags to all "
+                             "pending tasks before starting")
+    resume.add_argument("--lut", help=".cube LUT (with --reapply)")
+    _add_param_flags(resume)
     resume.set_defaults(fn=cmd_resume)
 
     probe = sub.add_parser("probe", help="print media info")

@@ -176,6 +176,47 @@ class TaskManager:
         self.task_updated.emit(task_id)
         return True
 
+    def apply_params_to_pending(self, params, lut_path=None,
+                                regenerate_output: bool = True) -> int:
+        """Re-snapshot `params` onto every PENDING task before a start —
+        the reference re-applies the current panel settings to all pending
+        tasks when Start is pressed (main_window.py:2557-2612): smart
+        defaults re-run per source (blank resolution/bitrate from probe),
+        the copy-codec+LUT guard re-applied, and fresh non-colliding output
+        paths generated. Returns the number of tasks updated."""
+        from ..app.defaults import apply_smart_defaults
+        from ..app.naming import cover_path_for, output_path_for
+
+        updated = []
+        with self._lock:
+            pending = [t for t in self.tasks.values()
+                       if t.status == TaskStatus.PENDING]
+        for task in pending:
+            if lut_path is not None:
+                task.lut_path = lut_path
+            task.params = apply_smart_defaults(
+                params, task.source_info, lut_active=task.lut_path is not None
+            )
+            out_dir = task.output_path.parent
+            if regenerate_output:
+                task.output_path = output_path_for(task.source_path, out_dir)
+            task.cover_path = (
+                cover_path_for(task.source_path, out_dir)
+                if task.params.generate_cover else None
+            )
+            if task.params.processing_mode == "pro" and task.intermediate_path:
+                from ..app.naming import intermediate_path_for
+
+                task.intermediate_path = intermediate_path_for(
+                    task.source_path, task.intermediate_path.parent
+                )
+            elif task.params.processing_mode != "pro":
+                task.intermediate_path = None
+            updated.append(task.task_id)
+        for task_id in updated:
+            self.task_updated.emit(task_id)
+        return len(updated)
+
     # -- queue persistence (checkpoint/resume; absent in the reference whose
     # in-memory queue dies with the app — SURVEY.md §5.4 marks this the one
     # cheap recovery affordance worth adding) --------------------------------

@@ -291,3 +291,20 @@ def test_cli_remembers_master_dir(tmp_path, capsys):
                    "--dry-run"])
     assert rc == 0
     assert "using remembered master dir" in capsys.readouterr().out
+
+
+def test_presets_name_validation_and_atomicity():
+    import pytest as _pytest
+
+    with _pytest.raises(presets_mod.PresetNameError):
+        presets_mod.save_preset("../evil", ProcessingParams())
+    with _pytest.raises(presets_mod.PresetNameError):
+        presets_mod.load_preset("a/b")
+    # atomic write leaves no temp droppings and the taxonomy maps to builtins
+    presets_mod.save_preset("atomic", ProcessingParams(bitrate="2M"))
+    leftovers = [p for p in presets_mod.presets_dir().iterdir()
+                 if p.suffix == ".tmp"]
+    assert not leftovers
+    assert issubclass(presets_mod.PresetExistsError, FileExistsError)
+    assert issubclass(presets_mod.PresetMissingError, FileNotFoundError)
+    presets_mod.delete_preset("atomic")

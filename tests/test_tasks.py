@@ -226,3 +226,31 @@ def test_runner_exception_cleans_master(clip, lut, tmp_path, monkeypatch):
     runner.run()
     assert statuses == [TaskStatus.FAILED.value]
     assert not intermediate.exists()
+
+
+def test_apply_params_to_pending(clip, lut, tmp_path):
+    """Bulk re-apply mirrors the reference's Start-button re-snapshot:
+    smart defaults from each task's probe, copy-codec guard, fresh output
+    paths; finished tasks untouched."""
+    mgr = TaskManager(lut_strategy="gather")
+    t1 = _task(clip, lut, tmp_path / "p1_out.mov",
+               params=ProcessingParams(video_codec="copy"))
+    t2 = _task(clip, lut, tmp_path / "p2_out.mov")
+    done = _task(clip, lut, tmp_path / "p3_out.mov")
+    mgr.add_tasks([t1, t2, done])
+    done.status = TaskStatus.COMPLETED
+    done_params = done.params
+    # collision file: fresh output path must skip it
+    (tmp_path / "c_out.mov").touch()
+
+    new = ProcessingParams(video_codec="copy", processing_mode="fast")
+    n = mgr.apply_params_to_pending(new)
+    assert n == 2
+    # copy-codec + LUT guard: auto-switched to an encoding codec
+    assert t1.params.video_codec != "copy"
+    # smart defaults filled blank resolution/bitrate from the probe
+    assert t1.params.resolution == t1.source_info.resolution
+    # fresh, non-colliding output path
+    assert t1.output_path.name != "c_out.mov"
+    assert t1.output_path.parent == tmp_path
+    assert done.params is done_params  # finished task untouched
