@@ -196,6 +196,7 @@ def _print_plans(tasks) -> int:
 
 def _run_queue(manager, args) -> int:
     names = {t.task_id: t.display_name() for t in manager.tasks.values()}
+    watch = bool(getattr(args, "watch", False))
 
     def on_log(task_id, message):
         stamp = time.strftime("%H:%M:%S")
@@ -210,11 +211,18 @@ def _run_queue(manager, args) -> int:
             print(f"[{names.get(task_id, task_id)[:24]}] {pct}%  "
                   f"(queue {overall}%)", flush=True)
 
-    manager.task_log.connect(on_log)
-    manager.task_progress.connect(on_progress)
+    if not watch:  # line logs would corrupt the monitor's in-place frame
+        manager.task_log.connect(on_log)
+        manager.task_progress.connect(on_progress)
     manager.start_all()
     try:
-        manager.wait_all()
+        if watch:
+            from .monitor import QueueMonitor
+
+            QueueMonitor(manager).run()
+            manager.wait_all()
+        else:
+            manager.wait_all()
     except KeyboardInterrupt:
         # first Ctrl-C: cooperative cancel (in-flight stages stop at the next
         # batch; partial outputs/masters are cleaned up by the runners)
@@ -444,6 +452,9 @@ def build_parser() -> argparse.ArgumentParser:
     render.add_argument("--concurrency", type=int, default=1,
                         help="parallel tasks (1-16, default 1)")
     render.add_argument("--progress", action="store_true")
+    render.add_argument("--watch", action="store_true",
+                        help="interactive queue monitor: live per-task rows, "
+                             "1-9 cancels a task, a cancels all, q quits")
     render.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
     render.add_argument("--save-queue", help="write queue state JSON when done")
@@ -457,6 +468,8 @@ def build_parser() -> argparse.ArgumentParser:
     resume.add_argument("queue_file")
     resume.add_argument("--concurrency", type=int, default=1)
     resume.add_argument("--progress", action="store_true")
+    resume.add_argument("--watch", action="store_true",
+                        help="interactive queue monitor (see render --watch)")
     resume.add_argument("--save-queue", help="write queue state JSON when done")
     resume.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
