@@ -64,7 +64,7 @@ def _add_param_flags(p: argparse.ArgumentParser) -> None:
                    choices=["nearest", "trilinear", "tetrahedral",
                             "pyramid", "prism", "cubic"])
     p.add_argument("--dither", dest="zscale_dither",
-                   choices=["none", "error_diffusion"])
+                   choices=["none", "error_diffusion", "ordered", "random"])
     p.add_argument("--input-matrix", dest="lut_input_matrix")
     p.add_argument("--output-tags", dest="lut_output_tags",
                    choices=["bt709", "inherit", "none"])

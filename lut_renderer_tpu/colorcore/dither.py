@@ -7,10 +7,15 @@ build substitutes spatially-stationary dithers applied inside the fused kernel:
 
   * "none":    round-to-nearest quantization;
   * "ordered": 16x16 Bayer threshold matrix (tiled), zero-mean;
-  * "random":  per-pixel uniform noise from the TPU PRNG (stochastic rounding).
+  * "random":  per-pixel uniform offsets from a stateless position hash
+               (murmur3-finalizer avalanche over (row, col, plane_seed)) —
+               stochastic rounding that is bit-reproducible across runs and
+               across the XLA / Pallas / NumPy implementations (a stateful
+               PRNG would diverge between them).
 
 The deviation from zscale's error diffusion is deliberate and documented; the
-acceptance budget is the same dE76 < 0.5 bound as the LUT itself.
+acceptance budget is the same dE76 < 0.5 bound as the LUT itself. Exact host
+error diffusion exists separately (native/src/dither_ed.cpp).
 """
 
 from __future__ import annotations
@@ -18,6 +23,45 @@ from __future__ import annotations
 import numpy as np
 
 DITHER_MODES = ("none", "ordered", "random", "error_diffusion")
+
+# murmur3/lowbias32 avalanche constants, shared verbatim with ops.pixel's jnp
+# implementation so all paths produce identical offsets.
+_H_ROW = np.uint32(0x9E3779B1)
+_H_COL = np.uint32(0x85EBCA77)
+_H_SEED = np.uint32(0xC2B2AE3D)
+_M1 = np.uint32(0x7FEB352D)
+_M2 = np.uint32(0x846CA68B)
+
+
+def hash_noise_offsets(h: int, w: int, plane_seed: int = 0) -> np.ndarray:
+    """Zero-mean uniform dither offsets in (-0.5, 0.5), shape (h, w).
+
+    Stateless position hash: every (row, col, plane_seed) triple maps to one
+    fixed offset, so the pattern is reproducible and tile-free (no visible
+    Bayer structure). NumPy reference for the jnp/kernel implementations."""
+    rows = np.arange(h, dtype=np.uint32)[:, None]
+    cols = np.arange(w, dtype=np.uint32)[None, :]
+    with np.errstate(over="ignore"):
+        x = (rows * _H_ROW) ^ (cols * _H_COL) ^ (np.uint32(plane_seed) * _H_SEED)
+        x ^= x >> np.uint32(16)
+        x *= _M1
+        x ^= x >> np.uint32(15)
+        x *= _M2
+        x ^= x >> np.uint32(16)
+    # top 24 bits -> uniform in [0, 1) at f32 resolution, then center
+    return ((x >> np.uint32(8)).astype(np.float32) * np.float32(2.0**-24)
+            - np.float32(0.5))
+
+
+def quantize_with_random_dither(x: np.ndarray, depth: int,
+                                plane_seed: int = 0) -> np.ndarray:
+    """NumPy reference for the kernel's "random" dither path."""
+    h, w = x.shape[-2], x.shape[-1]
+    maxv = (1 << depth) - 1
+    noise = hash_noise_offsets(h, w, plane_seed)
+    return np.clip(np.floor(x + 0.5 + noise), 0, maxv).astype(
+        np.uint16 if depth > 8 else np.uint8
+    )
 
 
 def bayer_matrix(order: int) -> np.ndarray:

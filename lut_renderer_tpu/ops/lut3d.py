@@ -190,6 +190,83 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
+def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
+                      idx_ref, w_ref, lq_ref, s_ref, out_ref):
+    """int8 variants: the LUT is a stacked [q1; q2] int8 pair with per-row
+    f32 dequant scales and the weight tile is OFFSET int8,
+    round(w * 254) - 127 — the offset doubles weight resolution for free
+    (its contribution is the precomputed per-row bias 127 * rowsum, and the
+    MXU is dense so nonzero "zeros" cost nothing). int8 runs the MXU at 2x
+    bf16 (measured 361-373 vs 165-188 TOPS on v5e,
+    experiments/int8_dot_bench.py).
+
+    wpair=False ("int8_fast"): ONE int8 dot per pass. Table error is
+    rowmax * 1.6e-5; the weight LSB (1/254) rotated against cell-local LUT
+    spread dominates — gated per LUT by prepare.simulate_mode_error.
+
+    wpair=True ("int8"): the weight tile also splits into int8 hi/lo halves,
+      T = (q1@W1) s1 + (q2@W1) s2 + (q1@W2) s1/254 + bias
+    (the q2@W2 cross term is < 1e-9 and dropped), i.e. 1.5 int8 dots per
+    pass with weight error 1.5e-5: near-exact.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    idx = idx_ref[:]                    # (3, BM) int32
+    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    bm = idx.shape[1]
+    rows2 = lq_ref.shape[0]
+    half = rows2 // 2
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
+
+    pk = idx[2:3, :]
+    nk = jnp.minimum(pk + 1, n - 1)
+    maskp = jnp.where((t_iota >= pk * n) & (t_iota < pk * n + n), 1.0, 0.0)
+    maskn = jnp.where((t_iota >= nk * n) & (t_iota < nk * n + n), 1.0, 0.0)
+
+    s1 = s_ref[:half, :]                # (half, 1) f32 (1/254 folded)
+    s2 = s_ref[half:half * 2, :]
+    bias = s_ref[half * 2:, :]          # (half, 1) f32 offset-weight bias
+    lq = lq_ref[:]
+
+    acc = [None, None, None]
+    for ps in range(n_passes):
+        wts = wall[6 * ps:6 * ps + 6, :]
+
+        def tap(axis, scale=1.0):
+            p = idx[axis:axis + 1, :]
+            nx = jnp.minimum(p + 1, n - 1)
+            wp = wts[2 * axis:2 * axis + 1, :] * scale
+            wn = wts[2 * axis + 1:2 * axis + 2, :] * scale
+            return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
+
+        rv = tap(0)                     # f32 r-axis taps (VPU side)
+        # g taps pre-scaled by 254 so the f32 product is the offset code +127
+        a = pltpu.repeat(tap(1, 254.0), n, axis=0)      # (N^2, BM) f32
+        b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
+        w254 = a * b32
+        w1r = jnp.round(w254)
+        w8 = (w1r - 127.0).astype(jnp.int8)
+        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+
+        seg = jnp.dot(lq, w8, preferred_element_type=jnp.int32).astype(
+            jnp.float32)
+        t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
+        if wpair:
+            w2 = jnp.round((w254 - w1r) * 254.0).astype(jnp.int8)
+            seg2 = jnp.dot(lq[:half, :], w2,
+                           preferred_element_type=jnp.int32).astype(jnp.float32)
+            t = t + seg2 * (s1 * (1.0 / 254.0))
+        meas = t[ones_row:ones_row + 1, :]
+        scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
+        for c in range(3):
+            segc = t[c * n:(c + 1) * n, :]
+            contrib = jnp.sum(segc * rv, axis=0) * scale[0, :]
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+    for c in range(3):
+        out_ref[c, :] = acc[c]
+
+
 def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
                  fuse: bool, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
     """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
@@ -285,7 +362,7 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
 
 
 def _run_passes(idx3, w_stack, prep, n: int,
-                n_passes: int, exact: bool, interpret: bool) -> jnp.ndarray:
+                n_passes: int, mode: str, interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -294,6 +371,39 @@ def _run_passes(idx3, w_stack, prep, n: int,
     npix = idx3.shape[1]
     bm = _block_pixels(n)
     assert npix % bm == 0
+
+    if mode in ("int8", "int8_fast"):
+        lq = jnp.asarray(
+            np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
+        )
+        sv = jnp.asarray(
+            np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
+                           axis=0), jnp.float32
+        )
+        kernel = functools.partial(_pass_kernel_int8, n, prep.ones_row,
+                                   n_passes, mode == "int8")
+        nw = 6 * n_passes
+        out = pl.pallas_call(
+            kernel,
+            grid=(npix // bm,),
+            in_specs=[
+                pl.BlockSpec((3, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * rows_pad, nsq), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * rows_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+            interpret=interpret,
+        )(idx3, w_stack, lq, sv)
+        return out[:3]
+
+    exact = mode != "fast"
     fuse = n <= 33
     if fuse:
         # the kernel derives hi/lo split from the stacked height vs `exact`
@@ -338,7 +448,7 @@ def apply_lut_planes(
     prep: PreparedLut,
     interp: str = "tetrahedral",
     strategy: str = "mxu",
-    precision: str = "exact",
+    precision: str = "auto",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply a prepared 3D LUT to planar float RGB in [0,1].
@@ -346,9 +456,14 @@ def apply_lut_planes(
     r/g/b: arbitrary same-shaped float arrays (typically (H, W)).
     strategy: "mxu" (Pallas kernel) or "gather" (XLA gather fallback — exact
     but slow on TPU; useful for tiny inputs and cross-checks).
+    precision: "exact" (corrected bf16 hi/lo), "fast" (single bf16 dot),
+    "int8" (int8 hi/lo pair at 2x MXU rate), or "auto" — the fastest mode
+    whose SIMULATED per-LUT worst-case dE76 clears prepare.DE76_BUDGET
+    (resolved at trace time via prep.resolve_precision).
     """
     if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
+    precision = prep.resolve_precision(interp, precision)
     shape = r.shape
     n = prep.size
 
@@ -382,7 +497,7 @@ def apply_lut_planes(
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     w_stack = jnp.concatenate(passes, axis=0) if len(passes) > 1 else passes[0]
     out = _run_passes(idx3, w_stack, prep, n,
-                      len(passes), precision != "fast", interpret)
+                      len(passes), precision, interpret)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
         ro, go, bo = ro[:npix], go[:npix], bo[:npix]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,13 +99,34 @@ def _bayer(depth_order: int = 4) -> np.ndarray:
     return _BAYER
 
 
+def hash_noise_offsets_jnp(h: int, w: int, plane_seed: int = 0) -> jnp.ndarray:
+    """jnp twin of colorcore.dither.hash_noise_offsets: zero-mean uniform
+    offsets in (-0.5, 0.5) from a stateless murmur3-finalizer position hash —
+    identical bits to the NumPy reference so all execution paths agree."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (h, w), 1)
+    x = ((rows * jnp.uint32(0x9E3779B1))
+         ^ (cols * jnp.uint32(0x85EBCA77))
+         ^ (jnp.uint32(plane_seed) * jnp.uint32(0xC2B2AE3D)))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(2.0**-24) - 0.5
+
+
 def quantize_plane(x, depth: int, dither: str = "none",
-                   tile_offset: Tuple[int, int] = (0, 0)):
+                   tile_offset: Tuple[int, int] = (0, 0),
+                   plane_seed: int = 0):
     """Float code values -> integer plane at `depth` bits.
 
     dither "none": round-to-nearest (floor(x+0.5), FFmpeg convention);
-    "ordered": tiled 16x16 Bayer zero-mean offsets added pre-round — the TPU
-    substitute for zscale error diffusion (policy note in plan.policy).
+    "ordered": tiled 16x16 Bayer zero-mean offsets added pre-round;
+    "random": stateless position-hash uniform offsets (stochastic rounding,
+    no tiling structure). Both are TPU substitutes for zscale's serial
+    error diffusion (policy note in plan.policy; exact host ED exists via
+    native_ext).
     """
     maxv = (1 << depth) - 1
     if dither == "ordered":
@@ -116,6 +138,8 @@ def quantize_plane(x, depth: int, dither: str = "none",
         reps_w = -(-w // tw) + 1
         tiled = jnp.tile(pat, (reps_h, reps_w))[oy:oy + h, ox:ox + w]
         x = x + tiled
+    elif dither == "random":
+        x = x + hash_noise_offsets_jnp(x.shape[-2], x.shape[-1], plane_seed)
     out = jnp.clip(jnp.floor(x + 0.5), 0, maxv)
     return out.astype(jnp.uint8 if depth <= 8 else jnp.uint16)
 

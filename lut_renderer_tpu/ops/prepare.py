@@ -1,9 +1,23 @@
-"""LUT preparation: Lut3D -> MXU-ready matrix.
+"""LUT preparation: Lut3D -> MXU-ready matrices + per-LUT precision choice.
 
 The Pallas kernel contracts the (g, b) axes of the LUT jointly on the MXU:
     T'[col, pixel] = sum_{j,k} Lmat[col, j*N+k] * Wt[j*N+k, pixel]
 so the LUT is prebaked as `Lmat[(c*N + r), (j*N + k)] = lut[r, j, k, c]`
 with the row dim (3N) padded to a multiple of 128 lanes-worth of output rows.
+
+Three numeric representations are prebaked:
+  * bf16 hi/lo pair  — "exact": hi + residual halves, table error ~2^-17;
+  * bf16 hi only     — "fast": one matmul, table error 2^-9-relative;
+  * int8 hi/lo pair  — "int8": per-row affine symmetric quantization
+    (q1 = round(L/s1), q2 = round((L - s1*q1)/s2)), table error
+    <= row_max * 1.6e-5, and the MXU runs int8 at 2x bf16 throughput
+    (measured 361-373 vs 165-188 TOPS on v5e — experiments/int8_dot_bench).
+
+precision="auto" resolves to the fastest representation whose SIMULATED
+worst-case error for THIS lut clears the dE76 budget: simulate_mode_error
+replays the kernel's numerics (quantized table, quantized weights, sum
+correction) in NumPy over a dense probe set and returns max dE76 vs the f32
+reference. The choice is cached per (interp, mode) on the PreparedLut.
 
 Also carries the domain mapping parameters (DOMAIN_MIN/MAX of the .cube file)
 so the apply path can remap inputs exactly like the reference oracle
@@ -12,11 +26,20 @@ so the apply path can remap inputs exactly like the reference oracle
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 from ..colorcore.cube import Lut3D
+
+# dE76 acceptance budget for reduced-precision kernels (BASELINE.json bounds
+# everything at < 0.5; keep a safety margin for on-device f32 reassociation).
+DE76_BUDGET = 0.40
+# The probe-set simulator samples ~2 random points per interpolation cell, so
+# the device-measured worst case can exceed it; gate with this inflation
+# (measured kernel/sim ratios land around 1.2 — tests/test_lut3d_op.py).
+SIM_MARGIN = 1.3
 
 
 def _round_up(x: int, m: int) -> int:
@@ -26,20 +49,86 @@ def _round_up(x: int, m: int) -> int:
 @dataclass
 class PreparedLut:
     lmat: np.ndarray        # (rows_pad, N*N) f32: rows_pad = round_up(3N+1, 128)
-    lmat_hi: np.ndarray     # bf16 high half (ml_dtypes bfloat16 as uint16 view-safe)
+    lmat_hi: np.ndarray     # bf16 high half (ml_dtypes bfloat16)
     lmat_lo: np.ndarray     # bf16 residual: lmat - f32(lmat_hi)
+    lmat_q1: np.ndarray     # int8 first plane (per-row scale s1)
+    lmat_q2: np.ndarray     # int8 residual plane (per-row scale s2)
+    scale_q1: np.ndarray    # (rows_pad, 1) f32, includes the 1/254 weight norm
+    scale_q2: np.ndarray    # (rows_pad, 1) f32
+    bias_q: np.ndarray      # (rows_pad, 1) f32 offset-weight bias (127*rowsum)
     size: int               # N
     rows_pad: int           # padded row count (output dim of the matmul)
     ones_row: int           # row index of the all-ones sum-correction row (3N)
     domain_min: np.ndarray  # (3,) f32
     domain_max: np.ndarray  # (3,) f32
     table: np.ndarray       # original (N, N, N, 3) f32 (for fallback paths)
+    _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
+    _auto_cache: Dict[str, str] = field(default_factory=dict)
 
     @property
     def has_unit_domain(self) -> bool:
         return bool(
             np.allclose(self.domain_min, 0.0) and np.allclose(self.domain_max, 1.0)
         )
+
+    # -- per-LUT precision resolution ----------------------------------------
+    def mode_error(self, interp: str, mode: str, probes: int = 60_000) -> float:
+        """Simulated worst-case dE76 of `mode` vs the f32 reference for this
+        LUT under `interp` (cached)."""
+        key = (interp, mode)
+        if key not in self._mode_errors:
+            self._mode_errors[key] = simulate_mode_error(
+                self, interp, mode, probes=probes
+            )
+        return self._mode_errors[key]
+
+    def resolve_precision(self, interp: str, requested: str = "auto",
+                          budget: float = DE76_BUDGET) -> str:
+        """Map a requested precision to a concrete kernel mode.
+
+        "auto" walks the tiers in measured-cost order (MXU dot-time per pass
+        at N=33: int8_fast 12.8 ms < fast 14 ms < int8 19.2 ms < exact
+        28 ms — experiments/int8_dot_bench.py) and picks the first whose
+        simulated per-LUT error clears the budget."""
+        if requested != "auto":
+            return requested
+        cached = self._auto_cache.get(interp)
+        if cached is not None:
+            return cached
+        choice = "exact"
+        for mode in ("int8_fast", "fast", "int8"):
+            if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
+                choice = mode
+                break
+        self._auto_cache[interp] = choice
+        return choice
+
+
+def _int8_pair(lmat: np.ndarray, ones_row: int):
+    """Per-row symmetric hi/lo int8 quantization of the LUT matrix.
+
+    The kernel stores the weight tile as OFFSET int8: round(w * 254) - 127,
+    doubling weight resolution over the naive round(w * 127) for free — the
+    offset's contribution is (127/254) * rowsum(L), a per-row constant that
+    becomes a precomputed bias added after the dot (the MXU is dense, so the
+    now-nonzero "zero" entries cost nothing). Row scales fold in the 1/254
+    dequant so the kernel does one multiply + one bias add; the ones row is
+    stored exactly (q=127) so the sum-correction readout stays faithful."""
+    absmax = np.abs(lmat).max(axis=1, keepdims=True)
+    s1 = absmax / 127.0
+    safe1 = np.where(s1 > 0, s1, 1.0)
+    q1 = np.clip(np.round(lmat / safe1), -127, 127).astype(np.int8)
+    r = lmat - s1 * q1
+    rmax = np.abs(r).max(axis=1, keepdims=True)
+    s2 = rmax / 127.0
+    safe2 = np.where(s2 > 0, s2, 1.0)
+    q2 = np.clip(np.round(r / safe2), -127, 127).astype(np.int8)
+    s1f = (s1 / 254.0).astype(np.float32)   # folded dequant scales
+    s2f = (s2 / 254.0).astype(np.float32)
+    rs1 = q1.astype(np.float64).sum(axis=1, keepdims=True)
+    rs2 = q2.astype(np.float64).sum(axis=1, keepdims=True)
+    bias = (127.0 * (s1f * rs1 + s2f * rs2)).astype(np.float32)
+    return q1, q2, s1f, s2f, bias
 
 
 def prepare_lut(lut: Lut3D) -> PreparedLut:
@@ -51,7 +140,7 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
     rows_pad = _round_up(rows + 1, 128)
     # lmat[c*N + r, k*N + j] = table[r, j, k, c]; row 3N is all-ones so the
     # matmul also returns each pixel's actual weight-column sum (used to
-    # cancel bf16 weight rounding in the kernel). Column order is b-major /
+    # cancel weight rounding in the kernel). Column order is b-major /
     # g-minor so the kernel can build the g-factor of the weight outer
     # product as a native tile (pltpu.repeat) — see lut3d._pass_kernel.
     lmat = np.zeros((rows_pad, n * n), dtype=np.float32)
@@ -60,10 +149,16 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
     lmat[rows] = 1.0
     hi = lmat.astype(ml_dtypes.bfloat16)
     lo = (lmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    q1, q2, s1, s2, bias = _int8_pair(lmat, rows)
     return PreparedLut(
         lmat=lmat,
         lmat_hi=hi,
         lmat_lo=lo,
+        lmat_q1=q1,
+        lmat_q2=q2,
+        scale_q1=s1,
+        scale_q2=s2,
+        bias_q=bias,
         size=n,
         rows_pad=rows_pad,
         ones_row=rows,
@@ -71,3 +166,185 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
         domain_max=np.asarray(lut.domain_max, np.float32),
         table=table,
     )
+
+
+# ---------------------------------------------------------------------------
+# NumPy replay of the kernel numerics (per-LUT precision gating)
+# ---------------------------------------------------------------------------
+
+def _probe_points(n: int, probes: int, rng_seed: int = 7) -> np.ndarray:
+    """Probe RGB inputs: all cell centers of the finest risky region plus
+    uniform random points — covers every interpolation cell for N<=33-ish
+    probe budgets and samples the rest densely."""
+    rng = np.random.default_rng(rng_seed)
+    pts = [rng.uniform(0.0, 1.0, (probes, 3)).astype(np.float32)]
+    # cell centers and near-corner points stress max-weight configurations
+    grid = (np.arange(n - 1, dtype=np.float32) + 0.5) / (n - 1)
+    k = min(n - 1, 24)
+    sel = grid[np.linspace(0, n - 2, k).astype(int)]
+    gx, gy, gz = np.meshgrid(sel, sel, sel, indexing="ij")
+    pts.append(np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32))
+    return np.concatenate(pts, axis=0)
+
+
+def _np_tap_weights(interp: str, d: np.ndarray):
+    """Per-pass (wp, wn) tap stacks per axis, mirroring lut3d._passes_for_interp.
+    d: (P, 3) fractional deltas. Returns list of (P, 3, 2) arrays."""
+    dr, dg, db = d[:, 0], d[:, 1], d[:, 2]
+    ones = np.ones_like(dr)
+    zeros = np.zeros_like(dr)
+
+    def stack(*cols):  # cols: wr_p, wr_n, wg_p, wg_n, wb_p, wb_n
+        return np.stack(cols, axis=1).reshape(-1, 3, 2)
+
+    if interp == "nearest":
+        hits = [(dx >= 0.5).astype(np.float32) for dx in (dr, dg, db)]
+        return [stack(1 - hits[0], hits[0], 1 - hits[1], hits[1],
+                      1 - hits[2], hits[2])]
+    if interp == "trilinear":
+        return [stack(1 - dr, dr, 1 - dg, dg, 1 - db, db)]
+    if interp == "tetrahedral":
+        rg, gb, rb = dr > dg, dg > db, dr > db
+        bg, br = db > dg, db > dr
+        m1, m2 = rg & gb, rg & ~gb & rb
+        m3, m4, m5 = rg & ~gb & ~rb, ~rg & bg, ~rg & ~bg & br
+        m6 = ~rg & ~bg & ~br
+        is_max = np.stack([m1 | m2, m5 | m6, m3 | m4], 1)
+        is_min = np.stack([m4 | m5, m2 | m3, m1 | m6], 1)
+        dmax = np.where(is_max[:, 0], dr, np.where(is_max[:, 1], dg, db))
+        dmin = np.where(is_min[:, 0], dr, np.where(is_min[:, 1], dg, db))
+        dmid = dr + dg + db - dmax - dmin
+        p1 = np.empty((len(dr), 3, 2), np.float32)
+        p2 = np.empty((len(dr), 3, 2), np.float32)
+        for ax in range(3):
+            p1[:, ax, 0] = np.where(is_max[:, ax], 1 - dmax, 1.0)
+            p1[:, ax, 1] = np.where(is_max[:, ax], dmax - dmid, 0.0)
+            p2[:, ax, 0] = np.where(is_min[:, ax], dmid - dmin, 0.0)
+            p2[:, ax, 1] = np.where(is_min[:, ax], dmin, 1.0)
+        return [p1, p2]
+    if interp == "pyramid":
+        m1 = (dg > dr) & (db > dr)
+        m2 = (dr > dg) & (db > dg)
+        is_x = np.stack([m1, m2 & ~m1, ~m1 & ~m2], 1)
+        d3 = np.stack([dr, dg, db], 1)
+        p1 = np.empty((len(dr), 3, 2), np.float32)
+        p2 = np.empty((len(dr), 3, 2), np.float32)
+        for ax in range(3):
+            p1[:, ax, 0] = np.where(is_x[:, ax], 1.0, 1 - d3[:, ax])
+            p1[:, ax, 1] = np.where(is_x[:, ax], 0.0, d3[:, ax])
+            p2[:, ax, 0] = np.where(is_x[:, ax], -d3[:, ax], 0.0)
+            p2[:, ax, 1] = np.where(is_x[:, ax], d3[:, ax], 1.0)
+        return [p1, p2]
+    if interp == "prism":
+        m = db > dr
+        p1 = stack(ones, zeros, 1 - dg, dg,
+                   np.where(m, 1 - db, 1 - dr), np.where(m, db - dr, 0.0))
+        p2 = stack(zeros, ones, 1 - dg, dg,
+                   np.where(m, 0.0, dr - db), np.where(m, dr, db))
+        return [p1, p2]
+    raise ValueError(f"unknown interp {interp!r}")
+
+
+def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
+                        probes: int = 60_000) -> float:
+    """Replay the kernel's reduced-precision numerics in NumPy and return the
+    max dE76 vs the exact f32 result over a dense probe set.
+
+    Faithful to the kernel: quantized table planes, weight tile quantization
+    (bf16 cast for "fast", round(w*127)/127 for "int8"), and the
+    ones-row sum correction with its |meas| > 0.01 gate. The int32/f32
+    accumulations themselves are exact, so NumPy f64 replay is a faithful
+    upper-level model."""
+    import ml_dtypes
+
+    from ..colorcore.metrics import max_delta_e76
+
+    if mode == "exact":
+        return 0.0
+    n = prep.size
+    pts = _probe_points(n, probes)
+    s = np.clip(pts, 0, 1) * (n - 1)
+    p = np.minimum(np.floor(s).astype(np.int64), n - 1)
+    nx = np.minimum(p + 1, n - 1)
+    d = (s - p).astype(np.float32)
+
+    passes = _np_tap_weights(interp, d)
+    table = prep.table  # (N, N, N, 3)
+
+    def corners(pi):  # gather the 2x2x2 cell, (P, 2, 2, 2, 3)
+        out = np.empty((len(pts), 2, 2, 2, 3), np.float32)
+        for a in range(2):
+            for b in range(2):
+                for c in range(2):
+                    ri = p[:, 0] if a == 0 else nx[:, 0]
+                    gi = p[:, 1] if b == 0 else nx[:, 1]
+                    bi = p[:, 2] if c == 0 else nx[:, 2]
+                    out[:, a, b, c] = pi[ri, gi, bi]
+        return out
+
+    cell = corners(table)
+
+    if mode == "fast":
+        t_hi = prep.lmat_hi.astype(np.float32)
+        # reconstruct the quantized cell values from the bf16 matrix
+        def quant_cell():
+            qt = np.zeros_like(table)
+            rows = 3 * n
+            qt_flat = t_hi[:rows].reshape(3, n, n, n)  # (c, r, k, j)
+            return qt_flat.transpose(1, 3, 2, 0)  # (r, j, k, c)
+        qcell = corners(quant_cell())
+        w_quant = None  # factor-wise bf16 handled below
+    elif mode in ("int8", "int8_fast"):
+        rows = 3 * n
+        s1 = prep.scale_q1[:rows] * 254.0   # (rows, 1), undo the /254 fold
+        s2 = prep.scale_q2[:rows] * 254.0
+        qt_flat = (prep.lmat_q1[:rows].astype(np.float32) * s1
+                   + prep.lmat_q2[:rows].astype(np.float32) * s2)
+        qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
+        if mode == "int8":
+            # weight hi/lo pair: residual LSB is 1/254^2 (the dropped q2@W2
+            # cross term is O(1e-9)); the dominant table error remains
+            def w_quant(w):
+                w254 = w * 254.0
+                w1 = np.round(w254)
+                w2 = np.round((w254 - w1) * 254.0)
+                return (w1 + w2 / 254.0) / 254.0
+        else:
+            # offset-int8: round(w*254)-127 stored, +127 restored via the
+            # precomputed per-row bias — effective LSB 1/254
+            w_quant = lambda w: np.round(w * 254.0) / 254.0  # noqa: E731
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def interp_with(cellv, weight_fn, correct: bool):
+        acc = np.zeros((len(pts), 3), np.float64)
+        for taps in passes:  # taps: (P, 3, 2)
+            # (g, b) outer product quantized as the kernel's weight tile;
+            # the r taps stay f32 (VPU side)
+            if weight_fn is None:  # "fast": bf16 factors, bf16 product
+                gq = ml_dtypes.bfloat16(taps[:, 1, :]).astype(np.float32)
+                bq = ml_dtypes.bfloat16(taps[:, 2, :]).astype(np.float32)
+                gbq = ml_dtypes.bfloat16(
+                    gq[:, :, None] * bq[:, None, :]
+                ).astype(np.float32)
+            else:
+                gb = taps[:, 1, :, None] * taps[:, 2, None, :]  # (P, 2, 2)
+                gbq = weight_fn(gb)
+            true_sum = (taps[:, 1].sum(1) * taps[:, 2].sum(1))
+            meas = gbq.sum((1, 2))
+            scale = np.where(np.abs(meas) > 0.01, true_sum / np.where(
+                meas == 0, 1, meas), 1.0)
+            # contract: r taps x (g,b) tile x cell values
+            w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
+            contrib = np.einsum("pabc,pabcx->px", w_full, cellv)
+            if correct:
+                contrib = contrib * scale[:, None]
+            acc += contrib
+        return acc
+
+    ref = interp_with(cell, lambda w: w, correct=False)
+    got = interp_with(qcell, w_quant, correct=True)
+    return float(max_delta_e76(
+        np.clip(ref, 0, 1).astype(np.float32),
+        np.clip(got, 0, 1).astype(np.float32),
+    ))

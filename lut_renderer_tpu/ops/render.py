@@ -59,6 +59,10 @@ class RenderConfig:
     # LUT kernel strategy: "mxu" (Pallas, production) or "gather" (XLA
     # gather — slow on TPU but exact and CPU-friendly for tests).
     lut_strategy: str = "mxu"
+    # Kernel numeric tier: "auto" resolves per LUT to the fastest of
+    # int8/fast/exact whose simulated dE76 clears the budget
+    # (ops.prepare.resolve_precision); "exact" opts out of the reduction.
+    lut_precision: str = "auto"
     # Requantize after range normalization to mimic the reference's 8-bit
     # intermediate `format=yuv420p` step (ffmpeg.py:233); parity knob.
     requantize_intermediate: bool = True
@@ -119,7 +123,7 @@ def render_yuv_frame(
     if cfg.apply_lut and prep is not None:
         r, g, b = apply_lut_planes(
             r, g, b, prep, cfg.interp, strategy=cfg.lut_strategy,
-            interpret=interpret,
+            precision=cfg.lut_precision, interpret=interpret,
         )
 
     # 4b. optional resolution change (policy `-s`), bilinear in RGB
@@ -144,9 +148,10 @@ def render_yuv_frame(
     # engine.executor and native_ext.error_diffusion_quantize.
     if cfg.dither == "error_diffusion_host":
         return yo, uo, vo
-    yq = quantize_plane(yo, cfg.out_depth, cfg.dither)
-    uq = quantize_plane(uo, cfg.out_depth, cfg.dither)
-    vq = quantize_plane(vo, cfg.out_depth, cfg.dither)
+    # distinct plane seeds decorrelate the "random" dither across Y/U/V
+    yq = quantize_plane(yo, cfg.out_depth, cfg.dither, plane_seed=1)
+    uq = quantize_plane(uo, cfg.out_depth, cfg.dither, plane_seed=2)
+    vq = quantize_plane(vo, cfg.out_depth, cfg.dither, plane_seed=3)
     return yq, uq, vq
 
 

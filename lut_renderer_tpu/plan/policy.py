@@ -356,7 +356,8 @@ def build_render_spec(
                     )
 
         if pix_fmt:
-            if (params.zscale_dither or "none") == "error_diffusion":
+            requested_dither = params.zscale_dither or "none"
+            if requested_dither == "error_diffusion":
                 # Execution picks exact host error diffusion (native C++)
                 # when available, else the TPU's spatially-stationary ordered
                 # dither (see colorcore.dither for rationale).
@@ -367,6 +368,14 @@ def build_render_spec(
                     "Dither: error_diffusion (exact host pass when the native "
                     "library is present, TPU ordered dither otherwise)"
                 )
+            elif requested_dither in ("ordered", "random"):
+                # TPU-native dithers beyond the reference's zscale set:
+                # ordered (Bayer) and random (position-hash stochastic
+                # rounding), both zero-mean and in-pipeline.
+                spec.filters.append(
+                    FilterStep("dither", {"mode": requested_dither})
+                )
+                notes.append(f"Dither: {requested_dither} (TPU in-pipeline)")
             if lut_path:
                 spec.filters.append(FilterStep("format", {"pix_fmt": pix_fmt}))
             spec.pix_fmt = pix_fmt

@@ -31,7 +31,7 @@ def _reference(r, g, b, lut, interp):
 def test_mxu_matches_reference_random_lut(interp, random_lut, rng):
     r, g, b = _rand_rgb_planes(rng)
     prep = prepare_lut(random_lut)
-    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, precision="exact", interpret=True)
     rr, gr, br = _reference(r, g, b, random_lut, interp)
     np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4, err_msg=interp)  # corrected-bf16 model: 2^-8 * cell spread
     np.testing.assert_allclose(np.asarray(go), gr, atol=3e-4, err_msg=interp)  # corrected-bf16 model: 2^-8 * cell spread
@@ -42,7 +42,7 @@ def test_mxu_matches_reference_random_lut(interp, random_lut, rng):
 def test_mxu_identity_lut(interp, identity_lut, rng):
     r, g, b = _rand_rgb_planes(rng)
     prep = prepare_lut(identity_lut)
-    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, interp, precision="exact", interpret=True)
     np.testing.assert_allclose(np.asarray(ro), r, atol=3e-4)
     np.testing.assert_allclose(np.asarray(go), g, atol=3e-4)
     np.testing.assert_allclose(np.asarray(bo), b, atol=3e-4)
@@ -54,7 +54,8 @@ def test_mxu_lattice_points_exact(random_lut, rng):
     rgb = (idx / (n - 1)).astype(np.float32).reshape(H, W, 3)
     prep = prepare_lut(random_lut)
     ro, go, bo = apply_lut_planes(
-        rgb[..., 0], rgb[..., 1], rgb[..., 2], prep, "tetrahedral", interpret=True
+        rgb[..., 0], rgb[..., 1], rgb[..., 2], prep, "tetrahedral",
+        precision="exact", interpret=True
     )
     want = random_lut.table[idx[:, 0], idx[:, 1], idx[:, 2]].reshape(H, W, 3)
     np.testing.assert_allclose(np.asarray(ro), want[..., 0], atol=1e-5)
@@ -65,7 +66,7 @@ def test_mxu_nonaligned_pixel_count(random_lut, rng):
     """P not a multiple of the block size exercises the zero-padding path."""
     r, g, b = _rand_rgb_planes(rng, 5, 77)
     prep = prepare_lut(random_lut)
-    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral", interpret=True)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral", precision="exact", interpret=True)
     rr, gr, br = _reference(r, g, b, random_lut, "tetrahedral")
     np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4)
     assert ro.shape == (5, 77)
@@ -77,7 +78,7 @@ def test_mxu_domain_mapping(rng):
     lut.domain_max = np.array([0.5, 0.5, 0.5], np.float32)
     prep = prepare_lut(lut)
     r = np.full((8, 128), 0.25, np.float32)
-    ro, go, bo = apply_lut_planes(r, r, r, prep, "trilinear", interpret=True)
+    ro, go, bo = apply_lut_planes(r, r, r, prep, "trilinear", precision="exact", interpret=True)
     np.testing.assert_allclose(np.asarray(ro), 0.5, atol=1e-6)
 
 
@@ -94,7 +95,7 @@ def test_edge_values(random_lut):
     r = np.array([[0.0] * 64 + [1.0] * 64], np.float32)
     prep = prepare_lut(random_lut)
     for interp in ("nearest", "trilinear", "tetrahedral"):
-        ro, go, bo = apply_lut_planes(r, r, r, prep, interp, interpret=True)
+        ro, go, bo = apply_lut_planes(r, r, r, prep, interp, precision="exact", interpret=True)
         n = random_lut.size
         np.testing.assert_allclose(
             np.asarray(ro)[0, 0], random_lut.table[0, 0, 0, 0], atol=1e-6
@@ -116,8 +117,61 @@ def test_mxu_delta_e_vs_reference(random_lut):
     r, g, b = _rand_rgb_planes(local_rng)
     prep = prepare_lut(random_lut)
     for interp in ("trilinear", "tetrahedral"):
-        ro, go, bo = apply_lut_planes(r, g, b, prep, interp, interpret=True)
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp, precision="exact", interpret=True)
         rr, gr, br = _reference(r, g, b, random_lut, interp)
         got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
         want = np.stack([rr, gr, br], -1)
         assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.1
+
+
+def test_int8_tier_parity(random_lut, rng):
+    """The int8 MXU tier (2x dot throughput) stays within its simulated
+    error: kernel-vs-reference dE76 <= sim prediction + margin, and far
+    inside the 0.5 contract budget for trilinear on this LUT."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(random_lut)
+    for interp in ("trilinear", "tetrahedral"):
+        sim = prep.mode_error(interp, "int8_fast")
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp,
+                                      precision="int8_fast", interpret=True)
+        rr, gr, br = _reference(r, g, b, random_lut, interp)
+        got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+        want = np.stack([rr, gr, br], -1)
+        measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
+        # the simulator is a probe-sampled estimate; SIM_MARGIN covers the
+        # coverage gap (prepare.py) — assert the same relationship here
+        assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
+
+
+def test_auto_precision_is_gated_by_simulated_error(random_lut):
+    """"auto" must never resolve to a tier whose simulated error exceeds
+    the budget, and must resolve deterministically (cached)."""
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET
+
+    prep = prepare_lut(random_lut)
+    for interp in ("trilinear", "tetrahedral"):
+        mode = prep.resolve_precision(interp)
+        if mode != "exact":
+            assert prep.mode_error(interp, mode) <= DE76_BUDGET
+        assert prep.resolve_precision(interp) == mode  # cached, stable
+
+
+def test_auto_precision_respects_budget_end_to_end(rng):
+    """A noisy LUT through precision="auto" stays inside the 0.5 parity
+    contract vs the f32 reference (whatever tier auto picked)."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+
+    lut = Lut3D.identity(17)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.05, 0.05, lut.table.shape).astype(np.float32),
+        0, 1)
+    prep = prepare_lut(lut)
+    r, g, b = _rand_rgb_planes(rng)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                  precision="auto", interpret=True)
+    rr, gr, br = _reference(r, g, b, lut, "tetrahedral")
+    got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    want = np.stack([rr, gr, br], -1)
+    assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.5

@@ -54,3 +54,57 @@ def test_ordered_dither_preserves_mean(rng):
     q = quantize_with_ordered_dither(x, 8, bayer_offsets(4))
     assert abs(float(q.mean()) - 100.37) < 0.02
     assert set(np.unique(q)).issubset({100, 101})
+
+
+def test_hash_noise_numpy_jnp_parity():
+    """The jnp position hash must produce bit-identical offsets to the NumPy
+    reference (all execution paths agree on 'random' dither)."""
+    import numpy as np
+
+    from lut_renderer_tpu.colorcore.dither import hash_noise_offsets
+    from lut_renderer_tpu.ops.pixel import hash_noise_offsets_jnp
+
+    ref = hash_noise_offsets(48, 96, plane_seed=2)
+    got = np.asarray(hash_noise_offsets_jnp(48, 96, plane_seed=2))
+    np.testing.assert_array_equal(ref, got)
+    assert abs(ref.mean()) < 0.01
+    assert ref.min() >= -0.5 and ref.max() < 0.5
+    # different plane seeds decorrelate
+    other = hash_noise_offsets(48, 96, plane_seed=3)
+    assert abs(np.corrcoef(ref.ravel(), other.ravel())[0, 1]) < 0.05
+
+
+def test_random_dither_kills_banding(rng):
+    """A smooth 10-bit ramp quantized to 8 bits: plain rounding leaves ~4-code
+    plateaus (banding); random dither recovers the gradient in local means
+    while keeping per-pixel error <= 1 LSB."""
+    import numpy as np
+
+    from lut_renderer_tpu.colorcore.dither import quantize_with_random_dither
+
+    h, w = 64, 1024
+    ramp = np.linspace(100.0, 110.0, w, dtype=np.float32)  # 8-bit code values
+    x = np.tile(ramp, (h, 1))
+    flat = np.clip(np.floor(x + 0.5), 0, 255)
+    dithered = quantize_with_random_dither(x, 8).astype(np.float32)
+    # per-pixel: stochastic rounding never strays more than 1 code
+    assert np.abs(dithered - x).max() <= 1.0
+    # column means track the true ramp much better than plain rounding
+    err_flat = np.abs(flat.mean(axis=0) - ramp).mean()
+    err_dith = np.abs(dithered.mean(axis=0) - ramp).mean()
+    assert err_dith < err_flat / 3
+    # zero-mean: overall brightness preserved
+    assert abs(dithered.mean() - x.mean()) < 0.02
+
+
+def test_quantize_plane_random_matches_reference(rng):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lut_renderer_tpu.colorcore.dither import quantize_with_random_dither
+    from lut_renderer_tpu.ops.pixel import quantize_plane
+
+    x = rng.uniform(0, 1023, (32, 128)).astype(np.float32)
+    ref = quantize_with_random_dither(x, 10, plane_seed=1)
+    got = np.asarray(quantize_plane(jnp.asarray(x), 10, "random", plane_seed=1))
+    np.testing.assert_array_equal(ref, got)
