@@ -6,9 +6,18 @@ Prints ONE JSON line:
 
 The baseline is measured, not cited (the reference publishes no numbers —
 BASELINE.md): FFmpeg's own lut3d C filter from the bundled libavfilter,
-tetrahedral 33^3 on 4K rgb48 frames, on this host. TPU timing uses scalar
-readback for honest completion (async dispatch under-reports otherwise) and
-amortizes over a chained multi-frame batch.
+tetrahedral 33^3 on 4K rgb48 frames, on this host (12 frames, median of 3
+runs — the 4-frame single-run baseline of round 1 swung the ratio +-15%).
+
+TPU timing: the kernel chains CHAIN batches of BATCH frames inside one jit
+(output feeds the next step's input, so nothing can be elided) and syncs once
+per timed region via scalar readback — the ~30 ms axon sync tax is amortized
+over BATCH*CHAIN frames instead of paid per batch.
+
+Precision: the production default, precision="auto" — the fastest kernel tier
+whose per-LUT simulated worst-case dE76 clears the 0.4 budget
+(ops/prepare.py); the resolved tier, its simulated error, and the measured
+parity of the ACTUAL kernel path vs FFmpeg lut3d are all reported.
 """
 
 import json
@@ -21,8 +30,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 H, W = 2160, 3840
-BATCH = 6
-ITERS = 5
+BATCH = 8       # frames per device step
+CHAIN = 3       # steps chained inside one jit call
+ITERS = 4       # timed regions (median)
 
 
 def _make_lut():
@@ -51,6 +61,8 @@ def measure_tpu_fps(lut) -> tuple:
     prep = prepare_lut(lut)
     platform = jax.devices()[0].platform
     strategy = "mxu" if platform == "tpu" else "gather"
+    precision = "auto" if strategy == "mxu" else "exact"
+    resolved = prep.resolve_precision("tetrahedral", precision)
     rng = np.random.default_rng(0)
     r = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W)).astype(np.float32))
     g = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W)).astype(np.float32))
@@ -58,22 +70,57 @@ def measure_tpu_fps(lut) -> tuple:
 
     @jax.jit
     def step(r, g, b):
-        ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
-                                      strategy=strategy)
-        return jnp.sum(ro) + jnp.sum(go) + jnp.sum(bo)
+        # CHAIN sequential LUT applications; each output feeds the next
+        # input, so the compiler cannot overlap-or-drop work and the scalar
+        # sync at the end covers BATCH * CHAIN frames' worth of kernel time.
+        for _ in range(CHAIN):
+            r, g, b = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                       strategy=strategy, precision=precision)
+        return jnp.sum(r) + jnp.sum(g) + jnp.sum(b)
 
     float(step(r, g, b))  # compile + warm
-    t0 = time.perf_counter()
+    times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         float(step(r, g, b))  # scalar readback forces completion
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt, platform
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return BATCH * CHAIN / dt, platform, resolved
 
 
 def measure_cpu_fps(cube) -> float:
     from lut_renderer_tpu.hostio.oracle import measure_cpu_lut3d_fps
 
-    return measure_cpu_lut3d_fps(cube, "tetrahedral", W, H, frames=4)
+    runs = [measure_cpu_lut3d_fps(cube, "tetrahedral", W, H, frames=12)
+            for _ in range(3)]
+    return float(np.median(runs))
+
+
+def measure_kernel_parity(lut, cube, resolved: str) -> float:
+    """Max dE76 of the ACTUAL kernel path (resolved precision tier, real
+    device) vs FFmpeg's lut3d on a random probe frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from lut_renderer_tpu.colorcore import max_delta_e76
+    from lut_renderer_tpu.hostio.oracle import Lut3DOracle
+    from lut_renderer_tpu.ops import prepare_lut
+    from lut_renderer_tpu.ops.lut3d import apply_lut_planes
+
+    prep = prepare_lut(lut)
+    platform = jax.devices()[0].platform
+    strategy = "mxu" if platform == "tpu" else "gather"
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 1, (256, 256, 3)).astype(np.float32)
+    with Lut3DOracle(cube, "tetrahedral", "gbrpf32le", 256, 256) as oracle:
+        ffm = oracle.apply_rgb_float(rgb)
+    ro, go, bo = apply_lut_planes(
+        jnp.asarray(rgb[..., 0]), jnp.asarray(rgb[..., 1]),
+        jnp.asarray(rgb[..., 2]), prep, "tetrahedral",
+        strategy=strategy, precision=resolved,
+    )
+    ours = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    return float(max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1)))
 
 
 def main() -> int:
@@ -91,27 +138,19 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover
         cpu_fps = None
         result["cpu_baseline_error"] = str(exc)[:200]
+    resolved = "exact"
     try:
-        tpu_fps, platform = measure_tpu_fps(lut)
+        tpu_fps, platform, resolved = measure_tpu_fps(lut)
         result["value"] = round(tpu_fps, 2)
         result["platform"] = platform
+        result["precision"] = resolved
         if cpu_fps:
             result["vs_baseline"] = round(tpu_fps / cpu_fps, 2)
     except Exception as exc:  # pragma: no cover
         result["error"] = str(exc)[:300]
-    # parity figure (small frame; float path) — diagnostic field
     try:
-        from lut_renderer_tpu.colorcore import apply_lut, max_delta_e76
-        from lut_renderer_tpu.hostio.oracle import Lut3DOracle
-
-        rng = np.random.default_rng(1)
-        rgb = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
-        with Lut3DOracle(cube, "tetrahedral", "gbrpf32le", 128, 128) as oracle:
-            ffm = oracle.apply_rgb_float(rgb)
-        ours = apply_lut(rgb, lut, "tetrahedral")
         result["max_dE76_vs_lut3d"] = round(
-            float(max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1))), 5
-        )
+            measure_kernel_parity(lut, cube, resolved), 5)
     except Exception as exc:  # pragma: no cover
         result["parity_error"] = str(exc)[:200]
 

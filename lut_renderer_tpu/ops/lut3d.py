@@ -41,12 +41,17 @@ import numpy as np
 from .. import colorcore
 from .prepare import PreparedLut
 
-# Block of pixels processed per grid step; sized so Wt (N^2, BM) f32 plus the
-# LUT matrix stay well under VMEM.
-def _block_pixels(n: int) -> int:
+# Block of pixels processed per grid step; sized so the weight tile
+# (N^2, BM) and its build temporaries stay under VMEM (~16 MB/core).
+# Values swept on a v5e chip (experiments/int8_dot_bench.py + BM sweep):
+# N=33 prefers 1024 for every tier; N=65 fits 512 only for single-pass
+# int8 programs and 256 otherwise.
+def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 33:
         return 1024
     if n <= 49:
+        return 512
+    if mode in ("int8", "int8_fast") and n_passes == 1:
         return 512
     return 256
 
@@ -244,16 +249,18 @@ def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
         # g taps pre-scaled by 254 so the f32 product is the offset code +127
         a = pltpu.repeat(tap(1, 254.0), n, axis=0)      # (N^2, BM) f32
         b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
-        w254 = a * b32
-        w1r = jnp.round(w254)
-        w8 = (w1r - 127.0).astype(jnp.int8)
+        # round(x) - 127 == round(x - 127) exactly (integer shift); folding
+        # the offset into the product avoids one full-size temp (VMEM spills
+        # cost ~20 ms/pass at BM=1024, measured)
+        w1r = jnp.round(a * b32 - 127.0)
+        w8 = w1r.astype(jnp.int8)
         true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
 
         seg = jnp.dot(lq, w8, preferred_element_type=jnp.int32).astype(
             jnp.float32)
         t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
         if wpair:
-            w2 = jnp.round((w254 - w1r) * 254.0).astype(jnp.int8)
+            w2 = jnp.round((a * b32 - 127.0 - w1r) * 254.0).astype(jnp.int8)
             seg2 = jnp.dot(lq[:half, :], w2,
                            preferred_element_type=jnp.int32).astype(jnp.float32)
             t = t + seg2 * (s1 * (1.0 / 254.0))
@@ -369,7 +376,7 @@ def _run_passes(idx3, w_stack, prep, n: int,
     rows_pad = prep.rows_pad
     nsq = n * n
     npix = idx3.shape[1]
-    bm = _block_pixels(n)
+    bm = _block_pixels(n, mode, n_passes)
     assert npix % bm == 0
 
     if mode in ("int8", "int8_fast"):
@@ -480,7 +487,8 @@ def apply_lut_planes(
     gf = g.reshape(-1)
     bf = b.reshape(-1)
     npix = rf.shape[0]
-    bm = _block_pixels(n)
+    n_passes = 1 if interp in ("nearest", "trilinear") else 2
+    bm = _block_pixels(n, precision, n_passes)
     pad = (-npix) % bm
     if pad:
         rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])
