@@ -75,9 +75,14 @@ def chroma_upsample_420(c, mode: str = "nearest"):
 
 
 def chroma_downsample_420(c):
-    """(H, W) chroma plane -> (H/2, W/2) by 2x2 mean (swscale-style box)."""
-    h, w = c.shape[-2], c.shape[-1]
-    return c.reshape(*c.shape[:-2], h // 2, 2, w // 2, 2).mean(axis=(-3, -1))
+    """(H, W) chroma plane -> (H/2, W/2) by 2x2 mean (swscale-style box).
+
+    Lane-axis first, then sublane, via strided adds: the reshape-mean
+    formulation splits the sublane dim and hides a Mosaic relayout costing
+    ~6 ms per 4K plane; this order measures at noise level
+    (experiments/yuv_stage_opt.py)."""
+    a = c[..., :, 0::2] + c[..., :, 1::2]
+    return (a[..., 0::2, :] + a[..., 1::2, :]) * 0.25
 
 
 def chroma_resample_422_to_444(c):
@@ -85,8 +90,7 @@ def chroma_resample_422_to_444(c):
 
 
 def chroma_downsample_422(c):
-    w = c.shape[-1]
-    return c.reshape(*c.shape[:-1], w // 2, 2).mean(axis=-1)
+    return (c[..., :, 0::2] + c[..., :, 1::2]) * 0.5
 
 
 _BAYER = None

@@ -62,6 +62,15 @@ class PreparedLut:
     domain_min: np.ndarray  # (3,) f32
     domain_max: np.ndarray  # (3,) f32
     table: np.ndarray       # original (N, N, N, 3) f32 (for fallback paths)
+    # Coarse + residual decomposition for large LUTs (N >= 49, odd N):
+    # interpolation is LINEAR in the table, so L = U(C) + R splits the
+    # evaluation into a coarse term at (N+1)/2-grid cost (per-axis tap remap,
+    # exact because the trilinear upsample U is separable) plus a residual
+    # term whose tiny magnitude rides a single-plane int8 matmul.
+    coarse: Optional["PreparedLut"] = None
+    resid_q: Optional[np.ndarray] = None       # (rows_pad, N^2) int8
+    resid_scale: Optional[np.ndarray] = None   # (rows_pad, 1) f32, 1/254 fold
+    resid_bias: Optional[np.ndarray] = None    # (rows_pad, 1) f32
     _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
     _auto_cache: Dict[str, str] = field(default_factory=dict)
 
@@ -86,17 +95,24 @@ class PreparedLut:
                           budget: float = DE76_BUDGET) -> str:
         """Map a requested precision to a concrete kernel mode.
 
-        "auto" walks the tiers in measured-cost order (MXU dot-time per pass
-        at N=33: int8_fast 12.8 ms < fast 14 ms < int8 19.2 ms < exact
-        28 ms — experiments/int8_dot_bench.py) and picks the first whose
-        simulated per-LUT error clears the budget."""
+        "auto" walks the tiers in measured-cost order (4K ms on v5e, N=33:
+        int8_fast 50 < fast 54 < exact 65 < int8 105; N=65 tetra:
+        coarse2_tri ~125 < coarse2 ~200 < int8_fast 240 < exact 437) and
+        picks the first whose simulated per-LUT error clears the budget."""
         if requested != "auto":
             return requested
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
+        ladder = ["int8_fast", "fast", "int8"]
+        if self.coarse is not None:
+            if interp == "trilinear":
+                ladder = ["coarse2", "int8_fast", "fast", "int8"]
+            elif interp == "tetrahedral":
+                ladder = ["coarse2_tri", "coarse2", "int8_fast", "fast",
+                          "int8"]
         choice = "exact"
-        for mode in ("int8_fast", "fast", "int8"):
+        for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
                 choice = mode
                 break
