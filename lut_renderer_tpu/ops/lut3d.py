@@ -51,7 +51,7 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 1024
     if n <= 49:
         return 512
-    if mode in ("int8", "int8_fast") and n_passes == 1:
+    if mode in ("int8", "int8_fast", "int8_resid") and n_passes == 1:
         return 512
     return 256
 
@@ -196,7 +196,7 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # ---------------------------------------------------------------------------
 
 def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
-                      idx_ref, w_ref, lq_ref, s_ref, out_ref):
+                      idx_ref, w_ref, lq_ref, s_ref, bdiv_ref, out_ref):
     """int8 variants: the LUT is a stacked [q1; q2] int8 pair with per-row
     f32 dequant scales and the weight tile is OFFSET int8,
     round(w * 254) - 127 — the offset doubles weight resolution for free
@@ -213,25 +213,39 @@ def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
       T = (q1@W1) s1 + (q2@W1) s2 + (q1@W2) s1/254 + bias
     (the q2@W2 cross term is < 1e-9 and dropped), i.e. 1.5 int8 dots per
     pass with weight error 1.5e-5: near-exact.
+
+    A SINGLE-plane table (the coarse2 residual: rows = rows_pad, one scale +
+    one zero-bias row in s_ref) is detected from the s_ref/lq_ref row ratio;
+    the residual's numeric headroom (table values ~1e-2) lets it skip the
+    offset and the round (truncate + 127 scale), which cuts the VPU-bound
+    weight-tile build — the dominant cost at N=65.
+
+    bdiv_ref is the precomputed row->b-plane map (t // n) as an (N^2, 1)
+    input: one equality compare per band mask instead of a two-sided range
+    compare (the W-build is O(N^2 * P) VPU work, so every op counts).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     idx = idx_ref[:]                    # (3, BM) int32
     wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
     bm = idx.shape[1]
-    rows2 = lq_ref.shape[0]
-    half = rows2 // 2
+    rows_l = lq_ref.shape[0]
+    planes = 2 if s_ref.shape[0] == 3 * (rows_l // 2) else 1
+    half = rows_l // planes
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
+    bdiv = bdiv_ref[:]                  # (N^2, 1) int32: row -> b plane
 
     pk = idx[2:3, :]
     nk = jnp.minimum(pk + 1, n - 1)
-    maskp = jnp.where((t_iota >= pk * n) & (t_iota < pk * n + n), 1.0, 0.0)
-    maskn = jnp.where((t_iota >= nk * n) & (t_iota < nk * n + n), 1.0, 0.0)
+    in_p = bdiv == pk                   # (N^2, BM) one compare per band
+    in_n = bdiv == nk
 
-    s1 = s_ref[:half, :]                # (half, 1) f32 (1/254 folded)
-    s2 = s_ref[half:half * 2, :]
-    bias = s_ref[half * 2:, :]          # (half, 1) f32 offset-weight bias
+    s1 = s_ref[:half, :]                # (half, 1) f32 (weight norm folded)
+    if planes == 2:
+        s2 = s_ref[half:half * 2, :]
+        bias = s_ref[half * 2:, :]      # (half, 1) f32 offset-weight bias
+    else:
+        bias = s_ref[half:, :]
     lq = lq_ref[:]
 
     acc = [None, None, None]
@@ -246,19 +260,31 @@ def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
             return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
 
         rv = tap(0)                     # f32 r-axis taps (VPU side)
-        # g taps pre-scaled by 254 so the f32 product is the offset code +127
-        a = pltpu.repeat(tap(1, 254.0), n, axis=0)      # (N^2, BM) f32
-        b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
-        # round(x) - 127 == round(x - 127) exactly (integer shift); folding
-        # the offset into the product avoids one full-size temp (VMEM spills
-        # cost ~20 ms/pass at BM=1024, measured)
-        w1r = jnp.round(a * b32 - 127.0)
-        w8 = w1r.astype(jnp.int8)
+        wscale = 254.0 if planes == 2 else 127.0
+        a = pltpu.repeat(tap(1, wscale), n, axis=0)     # (N^2, BM) f32
+        # two selects + add (not nested) so the clamped edge pk == nk sums
+        # both taps like the reference
+        b32 = (jnp.where(in_p, wts[4:5, :], 0.0)
+               + jnp.where(in_n, wts[5:6, :], 0.0))
         true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+
+        if planes == 2:
+            # offset int8: round(x) - 127 == round(x - 127) (integer shift);
+            # folding avoids one full-size temp (VMEM spills cost ~20 ms/pass
+            # at BM=1024, measured)
+            w1r = jnp.round(a * b32 - 127.0)
+            w8 = w1r.astype(jnp.int8)
+        else:
+            # residual: truncation bias (<= 1/127) is cancelled by the sum
+            # correction; saves the round
+            w8 = (a * b32).astype(jnp.int8)
 
         seg = jnp.dot(lq, w8, preferred_element_type=jnp.int32).astype(
             jnp.float32)
-        t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
+        if planes == 2:
+            t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
+        else:
+            t = seg * s1 + bias
         if wpair:
             w2 = jnp.round((a * b32 - 127.0 - w1r) * 254.0).astype(jnp.int8)
             seg2 = jnp.dot(lq[:half, :], w2,
@@ -379,14 +405,25 @@ def _run_passes(idx3, w_stack, prep, n: int,
     bm = _block_pixels(n, mode, n_passes)
     assert npix % bm == 0
 
-    if mode in ("int8", "int8_fast"):
-        lq = jnp.asarray(
-            np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
-        )
-        sv = jnp.asarray(
-            np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
-                           axis=0), jnp.float32
-        )
+    if mode in ("int8", "int8_fast", "int8_resid"):
+        if mode == "int8_resid":
+            lq = jnp.asarray(prep.resid_q, jnp.int8)
+            sv = jnp.asarray(
+                np.concatenate([prep.resid_scale, prep.resid_bias], axis=0),
+                jnp.float32,
+            )
+            lq_rows, sv_rows = rows_pad, 2 * rows_pad
+        else:
+            lq = jnp.asarray(
+                np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
+            )
+            sv = jnp.asarray(
+                np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
+                               axis=0), jnp.float32
+            )
+            lq_rows, sv_rows = 2 * rows_pad, 3 * rows_pad
+        bdiv = jnp.asarray(
+            (np.arange(nsq, dtype=np.int32) // n).reshape(nsq, 1))
         kernel = functools.partial(_pass_kernel_int8, n, prep.ones_row,
                                    n_passes, mode == "int8")
         nw = 6 * n_passes
@@ -398,16 +435,18 @@ def _run_passes(idx3, w_stack, prep, n: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, bm), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * rows_pad, nsq), lambda i: (0, 0),
+                pl.BlockSpec((lq_rows, nsq), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * rows_pad, 1), lambda i: (0, 0),
+                pl.BlockSpec((sv_rows, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nsq, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
             interpret=interpret,
-        )(idx3, w_stack, lq, sv)
+        )(idx3, w_stack, lq, sv, bdiv)
         return out[:3]
 
     exact = mode != "fast"
@@ -488,7 +527,9 @@ def apply_lut_planes(
     bf = b.reshape(-1)
     npix = rf.shape[0]
     n_passes = 1 if interp in ("nearest", "trilinear") else 2
-    bm = _block_pixels(n, precision, n_passes)
+    coarse2 = precision.startswith("coarse2") and prep.coarse is not None
+    # coarse2 runs two kernels with different block sizes; pad to the lcm
+    bm = 1024 if coarse2 else _block_pixels(n, precision, n_passes)
     pad = (-npix) % bm
     if pad:
         rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])
@@ -504,9 +545,64 @@ def apply_lut_planes(
     idx3 = jnp.stack([pr, pg, pb])
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     w_stack = jnp.concatenate(passes, axis=0) if len(passes) > 1 else passes[0]
-    out = _run_passes(idx3, w_stack, prep, n,
-                      len(passes), precision, interpret)
+
+    if coarse2:
+        out = _run_coarse2(idx3, passes, prep, n, interp, precision,
+                           pr, nr, dr, pg, ng, dg, pb, nb, db, interpret)
+    else:
+        out = _run_passes(idx3, w_stack, prep, n,
+                          len(passes), precision, interpret)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
         ro, go, bo = ro[:npix], go[:npix], bo[:npix]
     return ro.reshape(shape), go.reshape(shape), bo.reshape(shape)
+
+
+def _run_coarse2(idx3, passes, prep, n, interp, precision,
+                 pr, nr, dr, pg, ng, dg, pb, nb, db, interpret):
+    """Coarse + residual evaluation for big LUTs (prepare.py docstring):
+    interp(L) = interp(U(C)) + resid_interp(R), where the first term runs the
+    int8_fast kernel on the (N+1)/2 grid with per-axis remapped taps (exact —
+    prepare.remap_taps_to_coarse_np) and the second runs the single-plane
+    int8 residual kernel at fine resolution. A "_tri" suffix substitutes
+    trilinear for the residual's interpolation (1 pass instead of 2); a
+    "coarse2x" prefix runs the coarse term at exact-bf16 instead of
+    int8_fast. Both choices are part of the per-LUT gate."""
+    m = prep.coarse.size
+    coarse_tier = "exact" if precision.startswith("coarse2x") else "int8_fast"
+
+    # term 2: residual at fine resolution
+    if precision.endswith("_tri") and interp != "trilinear":
+        resid_passes = _passes_for_interp(
+            "trilinear", pr, nr, dr, pg, ng, dg, pb, nb, db, n)
+    else:
+        resid_passes = passes
+    wr_stack = (jnp.concatenate(resid_passes, axis=0)
+                if len(resid_passes) > 1 else resid_passes[0])
+    out = _run_passes(idx3, wr_stack, prep, n,
+                      len(resid_passes), "int8_resid", interpret)
+
+    # term 1: coarse grid with remapped taps
+    def remap_axis(p, wp, wn):
+        even = (p % 2) == 0
+        ic = p // 2
+        wpc = jnp.where(even, wp + 0.5 * wn, 0.5 * wp)
+        wnc = jnp.where(even, 0.5 * wn, 0.5 * wp + wn)
+        return ic, wpc, wnc
+
+    idxc = None
+    coarse_passes = []
+    for w6 in passes:
+        rows = []
+        ics = []
+        for ax in range(3):
+            ic, wpc, wnc = remap_axis(idx3[ax], w6[2 * ax], w6[2 * ax + 1])
+            ics.append(ic)
+            rows.extend([wpc, wnc])
+        idxc = jnp.stack(ics)           # identical across passes
+        coarse_passes.append(jnp.stack(rows))
+    wc_stack = (jnp.concatenate(coarse_passes, axis=0)
+                if len(coarse_passes) > 1 else coarse_passes[0])
+    out_c = _run_passes(idxc, wc_stack, prep.coarse, m,
+                        len(coarse_passes), coarse_tier, interpret)
+    return out + out_c

@@ -86,9 +86,20 @@ class PreparedLut:
         LUT under `interp` (cached)."""
         key = (interp, mode)
         if key not in self._mode_errors:
-            self._mode_errors[key] = simulate_mode_error(
-                self, interp, mode, probes=probes
-            )
+            if mode.startswith("coarse2"):
+                if self.coarse is None:
+                    return float("inf")
+                resid_interp = ("trilinear" if mode.endswith("_tri")
+                                else interp)
+                coarse_mode = ("exact" if mode.startswith("coarse2x")
+                               else "int8_fast")
+                self._mode_errors[key] = simulate_coarse_error(
+                    self, interp, resid_interp, coarse_mode, probes=probes
+                )
+            else:
+                self._mode_errors[key] = simulate_mode_error(
+                    self, interp, mode, probes=probes
+                )
         return self._mode_errors[key]
 
     def resolve_precision(self, interp: str, requested: str = "auto",
@@ -106,11 +117,15 @@ class PreparedLut:
             return cached
         ladder = ["int8_fast", "fast", "int8"]
         if self.coarse is not None:
+            # measured 4K costs at N=65 (ms): coarse2_tri 125 < coarse2x_tri
+            # 140 < coarse2 200 < coarse2x 215 < int8_fast 240 < fast < exact
+            # 437; "x" variants run the coarse term at exact-bf16 (the
+            # residual terms are near-exact by construction)
             if interp == "trilinear":
-                ladder = ["coarse2", "int8_fast", "fast", "int8"]
+                ladder = ["coarse2", "coarse2x", "int8_fast", "fast", "int8"]
             elif interp == "tetrahedral":
-                ladder = ["coarse2_tri", "coarse2", "int8_fast", "fast",
-                          "int8"]
+                ladder = ["coarse2_tri", "coarse2x_tri", "coarse2",
+                          "coarse2x", "int8_fast", "fast", "int8"]
         choice = "exact"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
@@ -147,6 +162,53 @@ def _int8_pair(lmat: np.ndarray, ones_row: int):
     return q1, q2, s1f, s2f, bias
 
 
+def _upsample2_linear(c: np.ndarray) -> np.ndarray:
+    """Separable linear upsample of an (M, M, M, 3) grid to (2M-1, ...):
+    even fine samples coincide with coarse points, odd ones are axis
+    midpoints. Separability is what makes the coarse-term tap remap exact."""
+    for axis in range(3):
+        m = c.shape[axis]
+        shape = list(c.shape)
+        shape[axis] = 2 * m - 1
+        out = np.zeros(shape, c.dtype)
+        even = [slice(None)] * 4
+        even[axis] = slice(0, None, 2)
+        out[tuple(even)] = c
+        odd = [slice(None)] * 4
+        odd[axis] = slice(1, None, 2)
+        lo = [slice(None)] * 4
+        lo[axis] = slice(0, m - 1)
+        hi = [slice(None)] * 4
+        hi[axis] = slice(1, m)
+        out[tuple(odd)] = 0.5 * (c[tuple(lo)] + c[tuple(hi)])
+        c = out
+    return c
+
+
+def _lmat_from_table(table: np.ndarray, rows_pad: int) -> np.ndarray:
+    n = table.shape[0]
+    rows = 3 * n
+    lmat = np.zeros((rows_pad, n * n), dtype=np.float32)
+    lmat[:rows] = table.transpose(3, 0, 2, 1).reshape(rows, n * n)
+    lmat[rows] = 1.0
+    return lmat
+
+
+def _int8_single(lmat: np.ndarray):
+    """Per-row symmetric single-plane int8 (for small-magnitude residuals:
+    error <= rowmax/254, negligible when rowmax ~ 1e-2). The residual kernel
+    skips the offset trick and truncates weights at 127 scale (its numeric
+    headroom is huge and the trimmed ops cut the VPU-bound tile build), so
+    the fold is 1/127 and the bias row is zero."""
+    absmax = np.abs(lmat).max(axis=1, keepdims=True)
+    s = absmax / 127.0
+    safe = np.where(s > 0, s, 1.0)
+    q = np.clip(np.round(lmat / safe), -127, 127).astype(np.int8)
+    sf = (s / 127.0).astype(np.float32)
+    bias = np.zeros_like(sf)
+    return q, sf, bias
+
+
 def prepare_lut(lut: Lut3D) -> PreparedLut:
     import ml_dtypes
 
@@ -166,6 +228,20 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
     hi = lmat.astype(ml_dtypes.bfloat16)
     lo = (lmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     q1, q2, s1, s2, bias = _int8_pair(lmat, rows)
+
+    coarse = resid_q = resid_scale = resid_bias = None
+    if n >= 49 and n % 2 == 1:
+        c_table = np.ascontiguousarray(table[::2, ::2, ::2])
+        resid = table - _upsample2_linear(c_table)
+        coarse = prepare_lut(
+            Lut3D(table=c_table, title=lut.title,
+                  domain_min=np.asarray(lut.domain_min, np.float32),
+                  domain_max=np.asarray(lut.domain_max, np.float32))
+        )
+        resid_q, resid_scale, resid_bias = _int8_single(
+            _lmat_from_table(resid, rows_pad)
+        )
+
     return PreparedLut(
         lmat=lmat,
         lmat_hi=hi,
@@ -181,6 +257,10 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
         domain_min=np.asarray(lut.domain_min, np.float32),
         domain_max=np.asarray(lut.domain_max, np.float32),
         table=table,
+        coarse=coarse,
+        resid_q=resid_q,
+        resid_scale=resid_scale,
+        resid_bias=resid_bias,
     )
 
 
@@ -360,6 +440,135 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
 
     ref = interp_with(cell, lambda w: w, correct=False)
     got = interp_with(qcell, w_quant, correct=True)
+    return float(max_delta_e76(
+        np.clip(ref, 0, 1).astype(np.float32),
+        np.clip(got, 0, 1).astype(np.float32),
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Coarse + residual decomposition helpers (N >= 49)
+# ---------------------------------------------------------------------------
+
+def remap_taps_to_coarse_np(p: np.ndarray, wp: np.ndarray, wn: np.ndarray):
+    """Per-axis remap of fine 2-tap weights onto the (N+1)/2 coarse grid.
+
+    Fine prev index p with taps (wp at p, wn at p+1); coarse cell i = p//2.
+    p even: fine p IS coarse i, fine p+1 is the axis midpoint ->
+            coarse taps (wp + wn/2, wn/2).
+    p odd:  fine p is the midpoint, fine p+1 IS coarse i+1 ->
+            coarse taps (wp/2, wp/2 + wn).
+    Tap sums are preserved, so the kernel's sum-correction row and the pass
+    decomposition are unchanged. Exact because the upsample is separable
+    linear (each fine corner is a per-axis linear blend of coarse corners).
+    """
+    even = (p % 2) == 0
+    ic = p // 2
+    wpc = np.where(even, wp + 0.5 * wn, 0.5 * wp)
+    wnc = np.where(even, 0.5 * wn, 0.5 * wp + wn)
+    return ic, wpc, wnc
+
+
+def _gather_cells(table: np.ndarray, p: np.ndarray, n: int) -> np.ndarray:
+    """(P, 2, 2, 2, 3) cell corners at per-axis prev indices p (clamped)."""
+    nx = np.minimum(p + 1, n - 1)
+    out = np.empty((len(p), 2, 2, 2, 3), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                ri = p[:, 0] if a == 0 else nx[:, 0]
+                gi = p[:, 1] if b == 0 else nx[:, 1]
+                bi = p[:, 2] if c == 0 else nx[:, 2]
+                out[:, a, b, c] = table[ri, gi, bi]
+    return out
+
+
+def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool):
+    acc = np.zeros((cells.shape[0], 3), np.float64)
+    for taps in passes:  # (P, 3, 2)
+        gb = taps[:, 1, :, None] * taps[:, 2, None, :]
+        gbq = w_quant(gb) if w_quant else gb
+        if correct:
+            true_sum = taps[:, 1].sum(1) * taps[:, 2].sum(1)
+            meas = gbq.sum((1, 2))
+            scale = np.where(np.abs(meas) > 0.01,
+                             true_sum / np.where(meas == 0, 1, meas), 1.0)
+        w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
+        contrib = np.einsum("pabc,pabcx->px", w_full, cells)
+        if correct:
+            contrib = contrib * scale[:, None]
+        acc += contrib
+    return acc
+
+
+def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
+                          coarse_mode: str = "int8_fast",
+                          probes: int = 60_000) -> float:
+    """Worst-case dE76 of the coarse+residual evaluation vs the exact f32
+    interpolation: coarse term at `coarse_mode` numerics ("int8_fast" or
+    "exact" bf16-pair, which this sim treats as error-free) on the (N+1)/2
+    grid (remapped taps), residual term at single-plane int8 numerics with
+    `resid_interp` (the trilinear substitution for tetrahedral is what this
+    sim gates — exactness of the substitution depends on the residual's
+    cell-local spread, a per-LUT property)."""
+    from ..colorcore.metrics import max_delta_e76
+
+    n = prep.size
+    m = prep.coarse.size
+    pts = _probe_points(n, probes)
+    s = np.clip(pts, 0, 1) * (n - 1)
+    p = np.minimum(np.floor(s).astype(np.int64), n - 1)
+    d = (s - p).astype(np.float32)
+
+    fine_passes = _np_tap_weights(interp, d)
+    ref = _sim_passes(_gather_cells(prep.table, p, n), fine_passes,
+                      None, correct=False)
+
+    w_q254 = lambda w: np.round(w * 254.0) / 254.0  # noqa: E731
+
+    # term 1: coarse grid, remapped taps
+    cp = prep.coarse
+    rows_c = 3 * m
+    if coarse_mode == "exact":
+        # bf16 hi/lo pair reconstructs the table to ~2^-17 and the exact
+        # tier's corrected-bf16 weight error lands around 1e-2 dE76 — model
+        # the coarse term as the reconstructed table with exact weights (the
+        # SIM_MARGIN gate absorbs the small unmodeled remainder)
+        c_quant = (cp.lmat_hi[:rows_c].astype(np.float32)
+                   + cp.lmat_lo[:rows_c].astype(np.float32))
+        w_qc = None
+    else:
+        sc1 = cp.scale_q1[:rows_c] * 254.0
+        sc2 = cp.scale_q2[:rows_c] * 254.0
+        c_quant = (cp.lmat_q1[:rows_c].astype(np.float32) * sc1
+                   + cp.lmat_q2[:rows_c].astype(np.float32) * sc2)
+        w_qc = w_q254
+    c_table = c_quant.reshape(3, m, m, m).transpose(1, 3, 2, 0)
+    coarse_passes = []
+    ic = None
+    for taps in fine_passes:
+        ct = np.empty_like(taps)
+        ic = np.empty_like(p)
+        for ax in range(3):
+            ic[:, ax], ct[:, ax, 0], ct[:, ax, 1] = remap_taps_to_coarse_np(
+                p[:, ax], taps[:, ax, 0], taps[:, ax, 1]
+            )
+        coarse_passes.append(ct)
+    got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes,
+                      w_qc, correct=w_qc is not None)
+
+    # term 2: residual at fine resolution, single-plane int8 with truncated
+    # 127-scale weights (the kernel's cheap build path)
+    rows_f = 3 * n
+    sr = prep.resid_scale[:rows_f] * 127.0
+    r_table = (prep.resid_q[:rows_f].astype(np.float32) * sr).reshape(
+        3, n, n, n).transpose(1, 3, 2, 0)
+    resid_passes = (fine_passes if resid_interp == interp
+                    else _np_tap_weights(resid_interp, d))
+    w_trunc127 = lambda w: np.trunc(w * 127.0) / 127.0  # noqa: E731
+    got += _sim_passes(_gather_cells(r_table, p, n), resid_passes,
+                       w_trunc127, correct=True)
+
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),
         np.clip(got, 0, 1).astype(np.float32),

@@ -175,3 +175,77 @@ def test_auto_precision_respects_budget_end_to_end(rng):
     got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
     want = np.stack([rr, gr, br], -1)
     assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.5
+
+
+def _film_lut(n):
+    """Smooth grading-style LUT (S-curve + saturation + split tone)."""
+    ramp = np.linspace(0, 1, n, dtype=np.float32)
+    r, g, b = np.meshgrid(ramp, ramp, ramp, indexing="ij")
+    rgb = np.stack([r, g, b], -1)
+    luma = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    rgb = rgb * rgb * (3 - 2 * rgb) * 0.85 + rgb * 0.15
+    l3 = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+          + 0.0722 * rgb[..., 2])[..., None]
+    rgb = l3 + (rgb - l3) * 1.15
+    rgb[..., 0] += 0.04 * luma * (1 - luma) * 4
+    rgb[..., 2] -= 0.02 * luma
+    rgb = np.clip(rgb, 0, 1) ** np.array([0.97, 1.0, 1.05], np.float32)
+    lut = Lut3D.identity(n)
+    lut.table = np.clip(rgb, 0, 1).astype(np.float32)
+    return lut
+
+
+def test_coarse2_decomposition_matches_reference():
+    """Big-LUT coarse+residual path (65^3 -> 33^3 + int8 residual): the
+    per-axis tap remap onto the coarse grid is exact for separable linear
+    upsampling, so total error is the gated residual numerics (< budget)."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET
+
+    lut = _film_lut(65)
+    prep = prepare_lut(lut)
+    assert prep.coarse is not None and prep.coarse.size == 33
+    rng = np.random.default_rng(9)
+    r, g, b = _rand_rgb_planes(rng, 8, 128)
+    for interp in ("tetrahedral", "trilinear"):
+        mode = prep.resolve_precision(interp)
+        assert mode.startswith("coarse2"), mode  # smooth LUT rides coarse2
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp,
+                                      precision="auto", interpret=True)
+        rr, gr, br = _reference(r, g, b, lut, interp)
+        got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+        want = np.stack([rr, gr, br], -1)
+        err = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
+        assert err < DE76_BUDGET, (interp, mode, err)
+
+
+def test_coarse2_identity_lut_near_exact():
+    """Identity 65^3 through coarse2: residual is exactly zero, so the
+    decomposition reduces to the coarse term alone."""
+    lut = Lut3D.identity(65)
+    prep = prepare_lut(lut)
+    # data rows are zero (the trailing ones-row is the correction readout)
+    assert float(np.abs(prep.resid_q[: 3 * 65]).max()) == 0.0
+    rng = np.random.default_rng(4)
+    r, g, b = _rand_rgb_planes(rng, 4, 128)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                  precision="coarse2x_tri", interpret=True)
+    np.testing.assert_allclose(np.asarray(ro), r, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(go), g, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bo), b, atol=2e-3)
+
+
+def test_noisy_lut_rejects_coarse2_trilinear_substitution():
+    """A noise LUT's residual carries the noise, so the trilinear
+    substitution gate must reject coarse2_tri and fall to a safe tier."""
+    rng = np.random.default_rng(12)
+    lut = Lut3D.identity(65)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.05, 0.05, lut.table.shape).astype(np.float32),
+        0, 1)
+    prep = prepare_lut(lut)
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET, SIM_MARGIN
+
+    mode = prep.resolve_precision("tetrahedral")
+    if mode != "exact":
+        assert prep.mode_error("tetrahedral", mode) * SIM_MARGIN <= DE76_BUDGET
