@@ -123,6 +123,79 @@ def measure_kernel_parity(lut, cube, resolved: str) -> float:
     return float(max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1)))
 
 
+def _film_lut65():
+    """Smooth grading-style 65^3 LUT (the BASELINE config-2 class)."""
+    from lut_renderer_tpu.colorcore import Lut3D
+
+    n = 65
+    ramp = np.linspace(0, 1, n, dtype=np.float32)
+    r, g, b = np.meshgrid(ramp, ramp, ramp, indexing="ij")
+    rgb = np.stack([r, g, b], -1)
+    luma = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    rgb = rgb * rgb * (3 - 2 * rgb) * 0.85 + rgb * 0.15
+    l3 = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+          + 0.0722 * rgb[..., 2])[..., None]
+    rgb = l3 + (rgb - l3) * 1.15
+    rgb[..., 0] += 0.04 * luma * (1 - luma) * 4
+    rgb[..., 2] -= 0.02 * luma
+    rgb = np.clip(rgb, 0, 1) ** np.array([0.97, 1.0, 1.05], np.float32)
+    lut = Lut3D.identity(n)
+    lut.table = np.clip(rgb, 0, 1).astype(np.float32)
+    return lut
+
+
+def measure_extra_configs(lut33) -> dict:
+    """Config-2 (65^3) and config-5-class (8K 10-bit) evidence fields:
+    device-resident fused renders at auto precision (resolved tier named)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lut_renderer_tpu.ops import RenderConfig, prepare_lut
+    from lut_renderer_tpu.ops.render import render_yuv_frame
+
+    out = {}
+    rng = np.random.default_rng(2)
+
+    def fused_fps(prep, cfg, h, w, batch, depth):
+        hi = (1 << depth) - 1
+        dt_in = np.uint16 if depth > 8 else np.uint8
+        y = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
+                                     (batch, h, w)).astype(dt_in))
+        u = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
+                                     (batch, h // 2, w // 2)).astype(dt_in))
+        v = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
+                                     (batch, h // 2, w // 2)).astype(dt_in))
+
+        @jax.jit
+        def step(y, u, v):
+            return render_yuv_frame(y, u, v, prep, cfg)
+
+        float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
+            times.append(time.perf_counter() - t0)
+        return batch / float(np.median(times))
+
+    try:
+        prep65 = prepare_lut(_film_lut65())
+        cfg = RenderConfig(interp="tetrahedral")
+        out["fps_4k_65cube_tetra"] = round(
+            fused_fps(prep65, cfg, H, W, 2, 8), 2)
+        out["precision_65cube"] = prep65.resolve_precision("tetrahedral")
+    except Exception as exc:  # pragma: no cover
+        out["error_65cube"] = str(exc)[:160]
+    try:
+        prep33 = prepare_lut(lut33)
+        cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral")
+        out["fps_8k_10bit_tetra"] = round(
+            fused_fps(prep33, cfg, 4320, 7680, 2, 10), 2)
+    except Exception as exc:  # pragma: no cover
+        out["error_8k"] = str(exc)[:160]
+    return out
+
+
 def main() -> int:
     lut, cube = _make_lut()
     result = {
@@ -153,6 +226,8 @@ def main() -> int:
             measure_kernel_parity(lut, cube, resolved), 5)
     except Exception as exc:  # pragma: no cover
         result["parity_error"] = str(exc)[:200]
+    if result.get("platform") == "tpu":
+        result.update(measure_extra_configs(lut))
 
     print(json.dumps(result))
     return 0

@@ -98,3 +98,28 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out[0].shape == args[0].shape
+
+
+def test_sharded_10bit_8k_class_tiles(mesh, rng, random_lut):
+    """Config-5 shape class: 10-bit frames sharded over the mesh (one
+    8K-aspect tile per device; full-size 8K-sharded throughput is measured
+    on the real chip by experiments/shard8k_bench.py — 4.37 fps/chip, no
+    sharding overhead vs unsharded)."""
+    from lut_renderer_tpu.ops.render import RenderConfig as RC
+
+    prep = prepare_lut(random_lut)
+    cfg = RC(in_depth=10, out_depth=10, interp="tetrahedral",
+             lut_strategy="gather")
+    batch = shard_batch_size(mesh)
+    h, w = 54, 192  # 8K aspect (16:9), tiny for the CPU mesh
+    y = rng.integers(64, 940, (batch, h, w)).astype(np.uint16)
+    u = rng.integers(64, 960, (batch, h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(64, 960, (batch, h // 2, w // 2)).astype(np.uint16)
+    fn = make_sharded_render_fn(prep, cfg, mesh)
+    ys, us, vs = put_sharded(mesh, y, u, v)
+    yq, uq, vq = fn(ys, us, vs)
+    ref = render_yuv_frame(y, u, v, prep, cfg)
+    for got, want in ((yq, ref[0]), (uq, ref[1]), (vq, ref[2])):
+        assert got.dtype == np.uint16
+        diff = np.abs(np.asarray(got).astype(int) - np.asarray(want).astype(int))
+        assert diff.max() <= 1
