@@ -175,10 +175,17 @@ def derive_encoder_settings(
     tags = spec.color_tags
     qscale = None
     if spec.crf:
-        # No CRF-capable encoder is bundled; map CRF onto qscale-style
-        # quality for mpeg4/mjpeg so the knob still does something sensible.
+        # No CRF-rate-control encoder is bundled (no libx264/x265); map CRF
+        # onto MPEG-4/MJPEG qscale on x264's own rate model: bitrate halves
+        # per +6 CRF, and qscale is ~inverse-proportional to bitrate, so
+        #     qscale = q0 * 2^((crf - 23) / 6),  anchored at CRF 23 ~ q4
+        # ("default quality" on both scales). Monotonic, matches the rate
+        # DOUBLING behavior users expect from the CRF knob (calibrated by
+        # tests/test_engine.py::test_crf_mapping_rate_model); the policy
+        # layer notes the substitution.
         try:
-            qscale = max(1, min(31, round(float(spec.crf) / 51 * 30) + 1))
+            qscale = max(1, min(31, round(4.0 * 2.0 **
+                                          ((float(spec.crf) - 23.0) / 6.0))))
         except ValueError:
             qscale = None
     gop = spec.gop

@@ -210,8 +210,13 @@ class VideoEncoder:
             if s.color_range:
                 opts["color_range"] = s.color_range
             if s.qscale is not None:
-                opts["flags"] = "+qscale"
-                opts["global_quality"] = str(s.qscale * 118)  # FF_QP2LAMBDA
+                # Constant-quantizer via the ratecontrol clamp: qmin==qmax
+                # pins every frame's quantizer. (FLAG_QSCALE+global_quality
+                # on the context is NOT honored by the mpeg4 encoder — it
+                # reads per-frame AVFrame.quality, which this ctypes layer
+                # does not poke; verified by the size-ordering test.)
+                opts["qmin"] = str(s.qscale)
+                opts["qmax"] = str(s.qscale)
             opts.update(s.extra_opts)
             for k, v in opts.items():
                 r = ffi.opt_set(self._ctx, k, str(v))

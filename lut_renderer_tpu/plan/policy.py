@@ -394,6 +394,14 @@ def build_render_spec(
                 )
 
         spec.crf = params.crf or None
+        if spec.crf:
+            # Same degradation-notes honesty as other substitutions: no
+            # CRF-rate-control encoder is bundled, so the engine maps CRF
+            # onto qscale via x264's rate model (engine.config).
+            notes.append(
+                f"CRF {spec.crf}: no CRF encoder bundled; mapped to qscale "
+                f"~4*2^((crf-23)/6) (rate-doubling per +6, anchored CRF 23)"
+            )
         spec.preset = params.preset or None
         spec.tune = params.tune or None
 

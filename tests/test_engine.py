@@ -248,3 +248,53 @@ def test_stage_resize(small_clip, tmp_path):
     assert res.ok, res.error
     oinfo = probe_video(out)
     assert (oinfo.width, oinfo.height) == (32, 32)
+
+
+def test_crf_mapping_rate_model():
+    """CRF -> qscale follows x264's rate model: q doubles per +6 CRF,
+    anchored at CRF 23 ~ q4, clamped to the MPEG-4 1..31 range."""
+    import dataclasses
+
+    from lut_renderer_tpu.engine.config import derive_encoder_settings
+    from lut_renderer_tpu.plan.policy import RenderSpec
+
+    def q(crf):
+        spec = RenderSpec(source=Path("a.mp4"), output=Path("b.mp4"),
+                          video_codec="mpeg4", crf=str(crf))
+        return derive_encoder_settings(spec, None, 64, 64).qscale
+
+    assert q(23) == 4
+    assert q(29) == 8      # +6 -> double
+    assert q(17) == 2      # -6 -> half
+    assert q(11) == 1      # clamp low
+    assert q(51) == 31     # clamp high
+    vals = [q(c) for c in range(10, 52, 3)]
+    assert vals == sorted(vals)  # monotonic
+
+
+def test_crf_drives_encoded_size(tmp_path):
+    """Higher CRF -> coarser qscale -> smaller file (end-to-end through the
+    real encoder)."""
+    import cv2
+
+    from lut_renderer_tpu.plan.policy import RenderSpec
+
+    # noisy content so quality actually costs bits (gradients compress to
+    # the container floor at any qscale)
+    clip = tmp_path / "n.mp4"
+    wr = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"mp4v"),
+                         25.0, (96, 64))
+    nrng = np.random.default_rng(0)
+    for _ in range(6):
+        wr.write(nrng.integers(0, 255, (64, 96, 3)).astype(np.uint8))
+    wr.release()
+    info = probe_video(clip)
+    sizes = {}
+    for crf in ("18", "38"):
+        out = tmp_path / f"crf{crf}.mp4"
+        spec = RenderSpec(source=clip, output=out, video_codec="mpeg4",
+                          crf=crf)
+        res = run_stage(spec, info, None, lut_strategy="gather")
+        assert res.ok, res.error
+        sizes[crf] = out.stat().st_size
+    assert sizes["18"] > sizes["38"]
