@@ -51,6 +51,8 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 1024
     if n <= 49:
         return 512
+    if mode == "int8_resid2":
+        return 512  # parity-halved tiles leave VMEM headroom either way
     if mode in ("int8", "int8_fast", "int8_resid") and n_passes == 1:
         return 512
     return 256
@@ -300,6 +302,75 @@ def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
         out_ref[c, :] = acc[c]
 
 
+def _pass_kernel_resid2(n: int, ones_row: int, n_passes: int,
+                        idx_ref, w_ref, lqe_ref, lqo_ref, s_ref,
+                        bdive_ref, bdivo_ref, out_ref):
+    """b-parity-split residual kernel: the residual table's even/odd
+    b-planes become two separate int8 matrices. Per pixel the b 2-tap has
+    exactly one even and one odd plane, so each sub-tile is ONE-tap in b —
+    its build is compare+select+mul+convert (4 ops) instead of the two-band
+    construction, and the two int8 dots sum in int32 before one dequant
+    (both tables share the full-row scales). Same quantized entries as the
+    single-plane residual (trunc(g*127*wb)), so prepare's simulator gates
+    both identically."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    idx = idx_ref[:]                    # (3, BM) int32
+    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    bm = idx.shape[1]
+    half = lqe_ref.shape[0]
+    ne = (n + 1) // 2
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
+    bdive = bdive_ref[:]                # (ne*N, 1): row -> even plane idx
+    bdivo = bdivo_ref[:]                # ((n//2)*N, 1)
+
+    pb = idx[2:3, :]
+    parity = pb % 2
+    even = parity == 0
+    clamp = pb == (n - 1)               # n odd: only an even pb can clamp
+    pe = (pb + parity) // 2             # containing/adjacent even plane
+    po = pb // 2                        # adjacent odd plane (w=0 if clamped)
+
+    s1 = s_ref[:half, :]
+    lqe = lqe_ref[:]
+    lqo = lqo_ref[:]
+
+    acc = [None, None, None]
+    for ps in range(n_passes):
+        wts = wall[6 * ps:6 * ps + 6, :]
+
+        def tap(axis, scale=1.0):
+            p = idx[axis:axis + 1, :]
+            nx = jnp.minimum(p + 1, n - 1)
+            wp = wts[2 * axis:2 * axis + 1, :] * scale
+            wn = wts[2 * axis + 1:2 * axis + 2, :] * scale
+            return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
+
+        rv = tap(0)
+        g127 = tap(1, 127.0)            # (N, BM) f32
+        wbp = wts[4:5, :]
+        wbn = wts[5:6, :]
+        we = jnp.where(even, wbp + jnp.where(clamp, wbn, 0.0), wbn)
+        wo = jnp.where(even, jnp.where(clamp, 0.0, wbn), wbp)
+        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wbp + wbn)
+
+        ae = pltpu.repeat(g127, ne, axis=0)          # (ne*N, BM)
+        w8e = (ae * jnp.where(bdive == pe, we, 0.0)).astype(jnp.int8)
+        ao = pltpu.repeat(g127, n // 2, axis=0)      # ((n//2)*N, BM)
+        w8o = (ao * jnp.where(bdivo == po, wo, 0.0)).astype(jnp.int8)
+        seg = (jnp.dot(lqe, w8e, preferred_element_type=jnp.int32)
+               + jnp.dot(lqo, w8o, preferred_element_type=jnp.int32))
+        t = seg.astype(jnp.float32) * s1
+        meas = t[ones_row:ones_row + 1, :]
+        scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
+        for c in range(3):
+            segc = t[c * n:(c + 1) * n, :]
+            contrib = jnp.sum(segc * rv, axis=0) * scale[0, :]
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+    for c in range(3):
+        out_ref[c, :] = acc[c]
+
+
 def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
                  fuse: bool, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
     """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
@@ -404,6 +475,48 @@ def _run_passes(idx3, w_stack, prep, n: int,
     npix = idx3.shape[1]
     bm = _block_pixels(n, mode, n_passes)
     assert npix % bm == 0
+
+    if mode == "int8_resid2":
+        rows = prep.rows_pad
+        ne, no = (n + 1) // 2, n // 2
+        r3 = prep.resid_q.reshape(rows, n, n)
+        lqe = jnp.asarray(np.ascontiguousarray(
+            r3[:, ::2, :].reshape(rows, ne * n)), jnp.int8)
+        lqo = jnp.asarray(np.ascontiguousarray(
+            r3[:, 1::2, :].reshape(rows, no * n)), jnp.int8)
+        sv = jnp.asarray(prep.resid_scale, jnp.float32)
+        bdive = jnp.asarray(
+            (np.arange(ne * n, dtype=np.int32) // n).reshape(ne * n, 1))
+        bdivo = jnp.asarray(
+            (np.arange(no * n, dtype=np.int32) // n).reshape(no * n, 1))
+        kernel = functools.partial(_pass_kernel_resid2, n, prep.ones_row,
+                                   n_passes)
+        nw = 6 * n_passes
+        out = pl.pallas_call(
+            kernel,
+            grid=(npix // bm,),
+            in_specs=[
+                pl.BlockSpec((3, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ne * n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, no * n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ne * n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((no * n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+            interpret=interpret,
+        )(idx3, w_stack, lqe, lqo, sv, bdive, bdivo)
+        return out[:3]
 
     if mode in ("int8", "int8_fast", "int8_resid"):
         if mode == "int8_resid":
@@ -580,7 +693,7 @@ def _run_coarse2(idx3, passes, prep, n, interp, precision,
     wr_stack = (jnp.concatenate(resid_passes, axis=0)
                 if len(resid_passes) > 1 else resid_passes[0])
     out = _run_passes(idx3, wr_stack, prep, n,
-                      len(resid_passes), "int8_resid", interpret)
+                      len(resid_passes), "int8_resid2", interpret)
 
     # term 1: coarse grid with remapped taps
     def remap_axis(p, wp, wn):
