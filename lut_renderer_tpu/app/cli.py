@@ -240,12 +240,32 @@ def _run_queue(manager, args) -> int:
 
     failed = [t for t in manager.tasks.values() if t.status.value == "failed"]
     done = [t for t in manager.tasks.values() if t.status.value == "completed"]
+    if getattr(args, "notify", False):
+        _notify_queue_finished(len(done), len(failed))
     print(f"queue finished: {len(done)} completed, {len(failed)} failed")
     for t in failed:
         print(f"  FAILED {t.display_name()}: {t.error}", file=sys.stderr)
     for t in done:
         print(f"  OK {t.display_name()} -> {t.output_path}")
     return 1 if failed else 0
+
+
+def _notify_queue_finished(done: int, failed: int) -> None:
+    """Completion notification — the headless analog of the reference's
+    tray/toast on queue finish (main_window.py:377-421): a terminal bell
+    always, plus a desktop notification when `notify-send` exists."""
+    import shutil
+    import subprocess
+
+    sys.stdout.write("\a")
+    sys.stdout.flush()
+    exe = shutil.which("notify-send")
+    if exe:
+        body = f"{done} completed" + (f", {failed} failed" if failed else "")
+        try:
+            subprocess.run([exe, "lut-tpu queue finished", body], timeout=5)
+        except Exception:
+            pass
 
 
 def cmd_resume(args) -> int:
@@ -455,6 +475,9 @@ def build_parser() -> argparse.ArgumentParser:
     render.add_argument("--watch", action="store_true",
                         help="interactive queue monitor: live per-task rows, "
                              "1-9 cancels a task, a cancels all, q quits")
+    render.add_argument("--notify", action="store_true",
+                        help="terminal bell + desktop notification when the "
+                             "queue finishes")
     render.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
     render.add_argument("--save-queue", help="write queue state JSON when done")
@@ -470,6 +493,8 @@ def build_parser() -> argparse.ArgumentParser:
     resume.add_argument("--progress", action="store_true")
     resume.add_argument("--watch", action="store_true",
                         help="interactive queue monitor (see render --watch)")
+    resume.add_argument("--notify", action="store_true",
+                        help="bell + desktop notification on queue finish")
     resume.add_argument("--save-queue", help="write queue state JSON when done")
     resume.add_argument("--lut-strategy", choices=["mxu", "gather"],
                         default="mxu", help=argparse.SUPPRESS)
