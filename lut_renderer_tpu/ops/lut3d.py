@@ -52,7 +52,7 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 49:
         return 512
     if mode == "int8_resid2":
-        return 512  # parity-halved tiles leave VMEM headroom either way
+        return 1024  # parity-halved tiles leave VMEM headroom (swept)
     if mode in ("int8", "int8_fast", "int8_resid") and n_passes == 1:
         return 512
     return 256
