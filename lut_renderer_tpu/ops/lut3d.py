@@ -623,6 +623,11 @@ def apply_lut_planes(
     if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
     precision = prep.resolve_precision(interp, precision)
+    if interp == "pyramid" and (precision.startswith("int8")
+                                or precision.startswith("coarse2")):
+        # negative difference-pass weights underflow the offset-int8 code
+        # range; never run pyramid through an int8 tier even when requested
+        precision = "exact"
     shape = r.shape
     n = prep.size
 

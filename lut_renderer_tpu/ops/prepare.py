@@ -86,7 +86,14 @@ class PreparedLut:
         LUT under `interp` (cached)."""
         key = (interp, mode)
         if key not in self._mode_errors:
-            if mode.startswith("coarse2"):
+            if interp == "pyramid" and (mode.startswith("int8")
+                                        or mode.startswith("coarse2")):
+                # pyramid's difference pass carries NEGATIVE weights (-dX);
+                # offset-int8 codes round(w*254)-127 underflow int8 for
+                # w < 0, so the int8 tiers are structurally invalid there
+                # (and the numeric sim would not model the wraparound)
+                self._mode_errors[key] = float("inf")
+            elif mode.startswith("coarse2"):
                 if self.coarse is None:
                     return float("inf")
                 resid_interp = ("trilinear" if mode.endswith("_tri")

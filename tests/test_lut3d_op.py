@@ -249,3 +249,16 @@ def test_noisy_lut_rejects_coarse2_trilinear_substitution():
     mode = prep.resolve_precision("tetrahedral")
     if mode != "exact":
         assert prep.mode_error("tetrahedral", mode) * SIM_MARGIN <= DE76_BUDGET
+
+
+def test_pyramid_never_resolves_to_int8(random_lut, rng):
+    """Pyramid's difference pass has negative weights, which underflow the
+    offset-int8 code range — auto must route pyramid away from int8 tiers,
+    and an explicit int8 request is overridden to exact (still correct)."""
+    prep = prepare_lut(random_lut)
+    assert not prep.resolve_precision("pyramid").startswith("int8")
+    r, g, b = _rand_rgb_planes(rng, 4, 128)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "pyramid",
+                                  precision="int8_fast", interpret=True)
+    rr, gr, br = _reference(r, g, b, random_lut, "pyramid")
+    np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4)
