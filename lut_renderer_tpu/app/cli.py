@@ -448,6 +448,16 @@ def cmd_doctor(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_help(args) -> int:
+    """Per-field help topics — the headless analog of the reference's help
+    popup system (main_window.py:1269-1622)."""
+    from .help import help_text
+
+    text = help_text(args.topic)
+    print(text)
+    return 0 if not text.startswith("unknown topic") else 1
+
+
 def cmd_thumb(args) -> int:
     out = ensure_thumbnail(Path(args.file), width=args.width)
     if out is None:
@@ -536,6 +546,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     doctor = sub.add_parser("doctor", help="environment health check")
     doctor.set_defaults(fn=cmd_doctor)
+
+    helpc = sub.add_parser("help", help="per-parameter help topics")
+    helpc.add_argument("topic", nargs="?", default="")
+    helpc.set_defaults(fn=cmd_help)
     return parser
 
 

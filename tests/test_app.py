@@ -308,3 +308,21 @@ def test_presets_name_validation_and_atomicity():
     assert issubclass(presets_mod.PresetExistsError, FileExistsError)
     assert issubclass(presets_mod.PresetMissingError, FileNotFoundError)
     presets_mod.delete_preset("atomic")
+
+
+def test_cli_help_topics(capsys):
+    """`lut-tpu help` lists topics; each topic renders; aliases resolve;
+    unknown topics fail with guidance (the reference's per-field help
+    system, headless)."""
+    from lut_renderer_tpu.app.help import TOPICS
+
+    assert cli_main(["help"]) == 0
+    listing = capsys.readouterr().out
+    for name in TOPICS:
+        assert name in listing
+    assert cli_main(["help", "dither"]) == 0
+    out = capsys.readouterr().out
+    assert "Floyd-Steinberg" in out and "random" in out
+    assert cli_main(["help", "bit-depth"]) == 0  # alias
+    assert "force_8bit" in capsys.readouterr().out
+    assert cli_main(["help", "nope"]) == 1
