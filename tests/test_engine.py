@@ -298,3 +298,31 @@ def test_crf_drives_encoded_size(tmp_path):
         assert res.ok, res.error
         sizes[crf] = out.stat().st_size
     assert sizes["18"] > sizes["38"]
+
+
+def test_run_stage_corrupt_source_fails_cleanly(tmp_path):
+    """A non-media file must fail with a decode error, not an exception,
+    and must not leave a partial output behind (reference contract: FFmpeg
+    exit code -> FAILED with message)."""
+    from lut_renderer_tpu.plan.policy import RenderSpec
+
+    bad = tmp_path / "garbage.mp4"
+    bad.write_bytes(b"not a movie" * 1024)
+    out = tmp_path / "out.mp4"
+    spec = RenderSpec(source=bad, output=out, video_codec="mpeg4")
+    res = run_stage(spec, None, None, lut_strategy="gather")
+    assert not res.ok
+    assert "decode" in res.error.lower() or "open" in res.error.lower()
+
+
+def test_run_stage_unwritable_output_fails_cleanly(tmp_path):
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    from lut_renderer_tpu.plan.policy import RenderSpec
+
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=4)
+    info = probe_video(clip)
+    spec = RenderSpec(source=clip, output=Path("/nonexistent-dir/x.mp4"),
+                      video_codec="mpeg4")
+    res = run_stage(spec, info, None, lut_strategy="gather")
+    assert not res.ok and res.error
