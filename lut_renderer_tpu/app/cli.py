@@ -555,6 +555,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command in ("render", "resume"):
+        # persistent XLA compilation cache: first-run compiles (~20-40 s)
+        # are reloaded from disk on subsequent processes
+        from ..utils.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
     return args.fn(args)
 
 

@@ -326,3 +326,21 @@ def test_cli_help_topics(capsys):
     assert cli_main(["help", "bit-depth"]) == 0  # alias
     assert "force_8bit" in capsys.readouterr().out
     assert cli_main(["help", "nope"]) == 1
+
+
+def test_persistent_compile_cache_config(tmp_path, monkeypatch):
+    """Cache dir resolution: env var wins (empty disables), settings next,
+    platform cache dir default; enabling is idempotent and points JAX at
+    the directory."""
+    import lut_renderer_tpu.utils.compile_cache as cc
+
+    monkeypatch.setenv("LUT_TPU_JAX_CACHE", str(tmp_path / "jc"))
+    cc._enabled = False
+    out = cc.enable_persistent_compile_cache()
+    assert out == tmp_path / "jc" and out.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+    assert cc.enable_persistent_compile_cache() == out  # idempotent
+    monkeypatch.setenv("LUT_TPU_JAX_CACHE", "")
+    assert cc.cache_dir() is None
