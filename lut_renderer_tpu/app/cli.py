@@ -448,6 +448,50 @@ def cmd_doctor(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_serve(args) -> int:
+    """Warm render daemon: owns the chip, keeps jit executables and prepared
+    LUTs resident, accepts JSON-lines jobs over a Unix socket (app.server).
+    Per-job cost becomes pure render time instead of process startup."""
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    from .server import QueueServer
+
+    enable_persistent_compile_cache()
+    server = QueueServer(args.socket, max_concurrency=args.concurrency,
+                         lut_strategy=args.lut_strategy)
+    server.start()
+    print(f"lut-tpu serving on {args.socket} "
+          f"(concurrency {args.concurrency}); "
+          f"send {{\"op\": \"shutdown\"}} to stop")
+    try:
+        server.wait()
+    except KeyboardInterrupt:
+        print("\nshutting down", file=sys.stderr)
+        for task_id in list(server.manager.tasks):
+            server.manager.cancel_task(task_id)
+        server.manager.wait_all(timeout=120)
+        server.stop()
+    return 0
+
+
+def cmd_client(args) -> int:
+    """Send one protocol request to a running `lut-tpu serve` daemon."""
+    from .server import request
+
+    try:
+        payload = json.loads(args.request)
+    except json.JSONDecodeError as exc:
+        print(f"error: request is not valid JSON: {exc}", file=sys.stderr)
+        return 2
+    try:
+        resp = request(args.socket, payload, timeout=args.timeout)
+    except OSError as exc:
+        print(f"error: cannot reach server at {args.socket}: {exc}",
+              file=sys.stderr)
+        return 2
+    print(json.dumps(resp, indent=2))
+    return 0 if resp.get("ok") else 1
+
+
 def cmd_help(args) -> int:
     """Per-field help topics — the headless analog of the reference's help
     popup system (main_window.py:1269-1622)."""
@@ -546,6 +590,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     doctor = sub.add_parser("doctor", help="environment health check")
     doctor.set_defaults(fn=cmd_doctor)
+
+    serve = sub.add_parser("serve", help="warm render daemon (Unix socket)")
+    serve.add_argument("--socket", required=True,
+                       help="Unix socket path to listen on")
+    serve.add_argument("--concurrency", type=int, default=1)
+    serve.add_argument("--lut-strategy", choices=["mxu", "gather"],
+                       default="mxu", help=argparse.SUPPRESS)
+    serve.set_defaults(fn=cmd_serve)
+
+    client = sub.add_parser("client", help="send one request to a daemon")
+    client.add_argument("request", help='JSON, e.g. {"op": "status"}')
+    client.add_argument("--socket", required=True)
+    client.add_argument("--timeout", type=float, default=60.0)
+    client.set_defaults(fn=cmd_client)
 
     helpc = sub.add_parser("help", help="per-parameter help topics")
     helpc.add_argument("topic", nargs="?", default="")

@@ -1,0 +1,192 @@
+"""Warm render service: a long-lived daemon over the task queue.
+
+Production serving for the framework (no reference analog — the reference
+is a desktop app; this is the deployment story for the TPU rebuild): one
+process owns the chip, keeps the jit executables and prepared LUTs warm,
+and accepts jobs over a Unix domain socket so per-job cost is pure render
+time instead of process startup + compile.
+
+Protocol: JSON lines (one request object per line, one response per line).
+
+  {"op": "submit", "files": [...], "lut": "look.cube",
+   "params": {...ProcessingParams fields...}, "out_dir": "...",
+   "master_dir": "..."}                -> {"ok": true, "task_ids": [...],
+                                           "logs": [...], "warnings": [...]}
+  {"op": "status"}                     -> {"ok": true, "tasks": [...],
+                                           "queue_progress": N}
+  {"op": "status", "task_id": "..."}   -> single-task view
+  {"op": "cancel", "task_id": "..."}   -> {"ok": true}
+  {"op": "ping"}                       -> {"ok": true, "tasks": N}
+  {"op": "shutdown"}                   -> {"ok": true} then the server stops
+                                          accepting; running tasks cancel
+
+Start via `lut-tpu serve --socket PATH`; drive ad hoc with
+`lut-tpu client --socket PATH '<json>'` or any socket client.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from pathlib import Path
+from typing import Optional
+
+from ..models import ProcessingParams, TaskStatus
+from ..tasks import TaskManager
+from .taskfactory import create_tasks
+
+
+def _task_view(task) -> dict:
+    return {
+        "task_id": task.task_id,
+        "name": task.display_name(),
+        "source": str(task.source_path),
+        "output": str(task.output_path),
+        "status": task.status.value,
+        "progress": task.progress,
+        "error": task.error,
+    }
+
+
+class QueueServer:
+    """Owns a TaskManager and serves the JSON-lines protocol."""
+
+    def __init__(self, socket_path, max_concurrency: int = 1,
+                 lut_strategy: str = "mxu"):
+        self.socket_path = Path(socket_path)
+        self.manager = TaskManager(max_concurrency=max_concurrency,
+                                   lut_strategy=lut_strategy)
+        self._lock = threading.Lock()
+        self._server: Optional[socketserver.ThreadingUnixStreamServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self.shutdown_requested = threading.Event()
+
+    # -- request handling -----------------------------------------------------
+    def handle_request(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            return {"ok": True, "tasks": len(self.manager.tasks)}
+        if op == "submit":
+            return self._submit(req)
+        if op == "status":
+            return self._status(req.get("task_id"))
+        if op == "cancel":
+            task_id = req.get("task_id", "")
+            if task_id not in self.manager.tasks:
+                return {"ok": False, "error": f"unknown task {task_id!r}"}
+            self.manager.cancel_task(task_id)
+            return {"ok": True}
+        if op == "shutdown":
+            self.shutdown_requested.set()
+            for task_id in list(self.manager.tasks):
+                self.manager.cancel_task(task_id)
+            threading.Thread(target=self.stop, daemon=True).start()
+            return {"ok": True}
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def _submit(self, req: dict) -> dict:
+        if self.shutdown_requested.is_set():
+            return {"ok": False, "error": "server is shutting down"}
+        files = [Path(f) for f in req.get("files", [])]
+        if not files:
+            return {"ok": False, "error": "no files given"}
+        lut = req.get("lut")
+        if lut and not Path(lut).exists():
+            return {"ok": False, "error": f"LUT not found: {lut}"}
+        params = ProcessingParams.from_dict(req.get("params") or {})
+        try:
+            with self._lock:
+                batch = create_tasks(
+                    files, params,
+                    lut_path=Path(lut) if lut else None,
+                    out_dir=Path(req["out_dir"]) if req.get("out_dir") else None,
+                    master_dir=(Path(req["master_dir"])
+                                if req.get("master_dir") else None),
+                )
+                self.manager.add_tasks(batch.tasks)
+                self.manager.start_all()
+        except (ValueError, OSError) as exc:
+            return {"ok": False, "error": str(exc)}
+        return {
+            "ok": True,
+            "task_ids": [t.task_id for t in batch.tasks],
+            "logs": batch.logs,
+            "warnings": batch.warnings,
+        }
+
+    def _status(self, task_id: Optional[str]) -> dict:
+        tasks = self.manager.tasks
+        if task_id is not None:
+            task = tasks.get(task_id)
+            if task is None:
+                return {"ok": False, "error": f"unknown task {task_id!r}"}
+            return {"ok": True, "task": _task_view(task)}
+        views = [_task_view(t) for t in tasks.values()]
+        agg = (sum(t.progress for t in tasks.values()) // len(tasks)
+               if tasks else 0)
+        return {"ok": True, "tasks": views, "queue_progress": agg}
+
+    # -- socket plumbing -------------------------------------------------------
+    def start(self) -> None:
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        resp = outer.handle_request(req)
+                    except json.JSONDecodeError as exc:
+                        resp = {"ok": False, "error": f"bad json: {exc}"}
+                    except Exception as exc:  # never kill the connection
+                        resp = {"ok": False, "error": str(exc)[:300]}
+                    self.wfile.write(
+                        (json.dumps(resp) + "\n").encode("utf-8"))
+                    self.wfile.flush()
+
+        self.socket_path.parent.mkdir(parents=True, exist_ok=True)
+        if self.socket_path.exists():
+            self.socket_path.unlink()
+        srv = socketserver.ThreadingUnixStreamServer(str(self.socket_path),
+                                                     Handler)
+        srv.daemon_threads = True
+        self._server = srv
+        self._thread = threading.Thread(target=srv.serve_forever,
+                                        name="lut-tpu-serve", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        with self._lock:  # shutdown-op thread and owner may both call stop
+            srv, self._server = self._server, None
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+        try:
+            self.socket_path.unlink()
+        except OSError:
+            pass
+
+    def wait(self) -> None:
+        """Block until shutdown is requested and the queue drains."""
+        self.shutdown_requested.wait()
+        self.manager.wait_all(timeout=300)
+
+
+def request(socket_path, payload: dict, timeout: float = 60.0) -> dict:
+    """One-shot client: send a request object, return the response object."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sock:
+        sock.settimeout(timeout)
+        sock.connect(str(socket_path))
+        sock.sendall((json.dumps(payload) + "\n").encode("utf-8"))
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))

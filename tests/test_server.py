@@ -1,0 +1,93 @@
+"""Warm render daemon tests: protocol, job lifecycle, warm reuse, shutdown."""
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+from lut_renderer_tpu.app.server import QueueServer, request
+from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+
+@pytest.fixture()
+def served(tmp_path):
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=6)
+    cube = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    sock = tmp_path / "lut.sock"
+    server = QueueServer(sock, max_concurrency=2, lut_strategy="gather")
+    server.start()
+    yield server, sock, clip, cube, tmp_path
+    server.stop()
+
+
+def _wait_done(sock, task_ids, timeout=240):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        resp = request(sock, {"op": "status"})
+        assert resp["ok"]
+        by_id = {t["task_id"]: t for t in resp["tasks"]}
+        states = {by_id[t]["status"] for t in task_ids}
+        if states <= {"completed", "failed", "canceled"}:
+            return by_id
+        time.sleep(0.1)
+    raise AssertionError("queue did not drain")
+
+
+def test_serve_submit_status_complete(served):
+    server, sock, clip, cube, tmp = served
+    assert request(sock, {"op": "ping"}) == {"ok": True, "tasks": 0}
+    resp = request(sock, {
+        "op": "submit",
+        "files": [str(clip)],
+        "lut": str(cube),
+        "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+        "out_dir": str(tmp / "out"),
+    })
+    assert resp["ok"], resp
+    (tid,) = resp["task_ids"]
+    by_id = _wait_done(sock, [tid])
+    assert by_id[tid]["status"] == "completed"
+    assert Path(by_id[tid]["output"]).exists()
+    one = request(sock, {"op": "status", "task_id": tid})
+    assert one["ok"] and one["task"]["progress"] == 100
+
+    # warm reuse: a second job on the same server/process completes too
+    resp2 = request(sock, {
+        "op": "submit",
+        "files": [str(clip)],
+        "lut": str(cube),
+        "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+        "out_dir": str(tmp / "out2"),
+    })
+    assert resp2["ok"]
+    by_id2 = _wait_done(sock, resp2["task_ids"])
+    assert all(t["status"] == "completed" for t in by_id2.values()
+               if t["task_id"] in resp2["task_ids"])
+
+
+def test_serve_errors_and_cancel(served):
+    server, sock, clip, cube, tmp = served
+    assert not request(sock, {"op": "nope"})["ok"]
+    assert not request(sock, {"op": "submit", "files": []})["ok"]
+    assert not request(sock, {"op": "submit", "files": [str(clip)],
+                              "lut": "/missing.cube"})["ok"]
+    assert not request(sock, {"op": "cancel", "task_id": "ghost"})["ok"]
+    assert not request(sock, {"op": "status", "task_id": "ghost"})["ok"]
+    # malformed JSON produces an error response, not a dropped connection
+    import socket as socketlib
+
+    with socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM) as s:
+        s.connect(str(sock))
+        s.sendall(b"{bad json\n")
+        line = s.makefile().readline()
+    assert "bad json" in json.loads(line)["error"]
+
+
+def test_serve_shutdown_cancels_and_refuses(served):
+    server, sock, clip, cube, tmp = served
+    resp = request(sock, {"op": "shutdown"})
+    assert resp["ok"]
+    assert server.shutdown_requested.is_set()
+    server.wait()  # returns: queue drained
