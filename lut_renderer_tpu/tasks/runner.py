@@ -33,20 +33,25 @@ from .signals import Signal
 
 _LUT_CACHE: Dict[Tuple[str, int], PreparedLut] = {}
 _LUT_CACHE_LOCK = threading.Lock()
+# A prepared 33^3 LUT (all tiers + sims) is a few MB; a warm daemon
+# switching between a handful of looks shouldn't re-prepare (and re-run the
+# precision simulations) on every task.
+_LUT_CACHE_MAX = 4
 
 
 def load_prepared_lut(path: Path) -> PreparedLut:
-    """Parse + prebake a .cube, cached by (path, mtime)."""
+    """Parse + prebake a .cube, cached by (path, mtime); small LRU."""
     from ..colorcore import parse_cube_file
 
     path = Path(path)
     key = (str(path.resolve()), path.stat().st_mtime_ns)
     with _LUT_CACHE_LOCK:
-        prep = _LUT_CACHE.get(key)
+        prep = _LUT_CACHE.pop(key, None)
         if prep is None:
             prep = prepare_lut(parse_cube_file(path))
-            _LUT_CACHE.clear()  # keep at most one LUT resident
-            _LUT_CACHE[key] = prep
+            while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+                _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+        _LUT_CACHE[key] = prep  # (re-)insert at MRU position
         return prep
 
 

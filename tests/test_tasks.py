@@ -254,3 +254,25 @@ def test_apply_params_to_pending(clip, lut, tmp_path):
     assert t1.output_path.name != "c_out.mov"
     assert t1.output_path.parent == tmp_path
     assert done.params is done_params  # finished task untouched
+
+
+def test_lut_cache_lru(tmp_path):
+    """The prepared-LUT cache holds several entries (a warm daemon switching
+    looks must not re-prepare per task) and evicts least-recently used."""
+    import lut_renderer_tpu.tasks.runner as runner_mod
+    from lut_renderer_tpu.tasks.runner import load_prepared_lut
+
+    paths = []
+    for i in range(5):
+        lut5 = Lut3D.identity(5)
+        lut5.table = np.clip(lut5.table * (0.9 + 0.02 * i), 0, 1)
+        paths.append(write_cube_file(tmp_path / f"l{i}.cube", lut5))
+    runner_mod._LUT_CACHE.clear()
+    preps = [load_prepared_lut(p) for p in paths[:4]]
+    # cached: same object back
+    assert load_prepared_lut(paths[0]) is preps[0]
+    # 5th insert evicts the LRU (paths[1], since paths[0] was just touched)
+    load_prepared_lut(paths[4])
+    assert len(runner_mod._LUT_CACHE) == 4
+    assert load_prepared_lut(paths[0]) is preps[0]   # still cached
+    assert load_prepared_lut(paths[1]) is not preps[1]  # evicted, rebuilt
