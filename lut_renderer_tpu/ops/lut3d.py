@@ -226,10 +226,36 @@ def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
     input: one equality compare per band mask instead of a two-sided range
     compare (the W-build is O(N^2 * P) VPU work, so every op counts).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     idx = idx_ref[:]                    # (3, BM) int32
     wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
+               bdiv_ref, out_ref)
+
+
+def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
+                       dmin, dmax, rgb_ref, lq_ref, s_ref, bdiv_ref,
+                       out_ref):
+    """Fused-taps int8 kernel: raw RGB f32 rows in, coordinates and per-pass
+    tap weights computed IN-kernel (the math is shape-agnostic, running on
+    (1, BM) rows), which drops the per-pixel HBM round trip from 15 rows
+    (idx3 + weight stack) to 3 and removes the XLA-side tap fusion cluster."""
+    rgb = rgb_ref[:]                    # (3, BM) f32 in [0, 1]
+    bm = rgb.shape[1]
+    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
+    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
+    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
+    idx = jnp.concatenate([pr, pg, pb], axis=0)
+    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
+    # each pass stacks (1, BM) rows -> (6, 1, BM); flatten the unit axis
+    wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
+    _int8_body(n, ones_row, len(passes), wpair, idx, wall, lq_ref, s_ref,
+               bdiv_ref, out_ref)
+
+
+def _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
+               bdiv_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
     bm = idx.shape[1]
     rows_l = lq_ref.shape[0]
     planes = 2 if s_ref.shape[0] == 3 * (rows_l // 2) else 1
@@ -392,10 +418,32 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
     outer products hide an expensive relayout (pltpu.repeat tile + iota
     range-compares instead).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
     wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
+               lhi_ref, llo_ref, out_ref)
+
+
+def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
+                       fuse: bool, dmin, dmax, rgb_ref, lhi_ref, llo_ref,
+                       out_ref):
+    """Fused-taps bf16 kernel (see _fused_kernel_int8)."""
+    rgb = rgb_ref[:]
+    bm = rgb.shape[1]
+    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
+    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
+    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
+    idx = jnp.concatenate([pr, pg, pb], axis=0)
+    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
+    wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
+    _bf16_body(n, ones_row, len(passes), exact, fuse, idx, wall,
+               lhi_ref, llo_ref, out_ref)
+
+
+def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
+               lhi_ref, llo_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
     bm = idx.shape[1]
     rows = lhi_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
@@ -463,6 +511,89 @@ def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     for c in range(3):
         out_ref[c, :] = acc[c]
+
+
+def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
+               interpret: bool) -> jnp.ndarray:
+    """Fused-taps launch: (3, P) f32 RGB in, coordinates/weights computed
+    inside the kernel (3 HBM rows/pixel instead of 15 + no XLA tap cluster).
+    Covers the exact/fast/int8 tiers; coarse2 keeps the split launcher."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows_pad = prep.rows_pad
+    nsq = n * n
+    npix = rgb3.shape[1]
+    n_passes = 1 if interp in ("nearest", "trilinear") else 2
+    bm = _block_pixels(n, mode, n_passes)
+    assert npix % bm == 0
+    dmin = tuple(float(v) for v in prep.domain_min)
+    dmax = tuple(float(v) for v in prep.domain_max)
+
+    if mode in ("int8", "int8_fast"):
+        lq = jnp.asarray(
+            np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
+        )
+        sv = jnp.asarray(
+            np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
+                           axis=0), jnp.float32
+        )
+        bdiv = jnp.asarray(
+            (np.arange(nsq, dtype=np.int32) // n).reshape(nsq, 1))
+        kernel = functools.partial(_fused_kernel_int8, n, prep.ones_row,
+                                   interp, mode == "int8", dmin, dmax)
+        out = pl.pallas_call(
+            kernel,
+            grid=(npix // bm,),
+            in_specs=[
+                pl.BlockSpec((3, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * rows_pad, nsq), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * rows_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nsq, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+            interpret=interpret,
+        )(rgb3, lq, sv, bdiv)
+        return out[:3]
+
+    exact = mode != "fast"
+    fuse = n <= 33
+    if fuse:
+        lmat_a = jnp.asarray(
+            np.concatenate([prep.lmat_hi, prep.lmat_lo], axis=0)
+            if exact else prep.lmat_hi,
+            jnp.bfloat16,
+        )
+        lmat_b = jnp.zeros((8, nsq), jnp.bfloat16)  # unused placeholder
+        a_rows = 2 * rows_pad if exact else rows_pad
+    else:
+        lmat_a = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
+        lmat_b = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
+        a_rows = rows_pad
+    kernel = functools.partial(_fused_kernel_bf16, n, prep.ones_row,
+                               interp, exact, fuse, dmin, dmax)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npix // bm,),
+        in_specs=[
+            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_rows, nsq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lmat_b.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+        interpret=interpret,
+    )(rgb3, lmat_a, lmat_b)
+    return out[:3]
 
 
 def _run_passes(idx3, w_stack, prep, n: int,
@@ -654,22 +785,20 @@ def apply_lut_planes(
         gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
         bf = jnp.concatenate([bf, jnp.zeros((pad,), bf.dtype)])
 
-    dmin = jnp.asarray(prep.domain_min)
-    dmax = jnp.asarray(prep.domain_max)
-    pr, nr, dr = _scaled_coords(rf, n, dmin[0], dmax[0])
-    pg, ng, dg = _scaled_coords(gf, n, dmin[1], dmax[1])
-    pb, nb, db = _scaled_coords(bf, n, dmin[2], dmax[2])
-
-    idx3 = jnp.stack([pr, pg, pb])
-    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
-    w_stack = jnp.concatenate(passes, axis=0) if len(passes) > 1 else passes[0]
-
     if coarse2:
+        dmin = jnp.asarray(prep.domain_min)
+        dmax = jnp.asarray(prep.domain_max)
+        pr, nr, dr = _scaled_coords(rf, n, dmin[0], dmax[0])
+        pg, ng, dg = _scaled_coords(gf, n, dmin[1], dmax[1])
+        pb, nb, db = _scaled_coords(bf, n, dmin[2], dmax[2])
+        idx3 = jnp.stack([pr, pg, pb])
+        passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg,
+                                    pb, nb, db, n)
         out = _run_coarse2(idx3, passes, prep, n, interp, precision,
                            pr, nr, dr, pg, ng, dg, pb, nb, db, interpret)
     else:
-        out = _run_passes(idx3, w_stack, prep, n,
-                          len(passes), precision, interpret)
+        rgb3 = jnp.stack([rf, gf, bf]).astype(jnp.float32)
+        out = _run_fused(rgb3, prep, n, interp, precision, interpret)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
         ro, go, bo = ro[:npix], go[:npix], bo[:npix]
