@@ -149,3 +149,36 @@ def test_encode_with_audio_copy_no_audio_source(tmp_path, clip):
         v10 = np.repeat(fr.v, 2, axis=0).astype(np.uint16) << 2
         enc.write(y10, u10, v10)
     assert probe_video(out).codec_name == "prores"
+
+
+def test_encode_webm_vp9_and_mkv_ffv1_containers(tmp_path, clip):
+    """Container breadth: the reference accepts webm/mkv sources
+    (VIDEO_EXTS, main_window.py:76) — our mux/demux handles them too:
+    vp9-in-webm and lossless ffv1-in-mkv round-trip through probe+decode."""
+    with VideoDecoder(clip) as dec:
+        frames = [dec.read_frame() for _ in range(4)]
+
+    out_webm = tmp_path / "o.webm"
+    st = EncoderSettings(codec="libvpx-vp9", width=320, height=240,
+                         pix_fmt="yuv420p", fps=Fraction(25), bitrate="1M")
+    with VideoEncoder(out_webm, st) as enc:
+        for fr in frames:
+            enc.write(fr.y, fr.u, fr.v)
+    info = probe_video(out_webm)
+    assert info.codec_name in ("vp9", "libvpx-vp9")
+    with VideoDecoder(out_webm) as dec:
+        f2 = dec.read_frame()
+    assert f2.y.shape == frames[0].y.shape
+
+    out_mkv = tmp_path / "o.mkv"
+    st = EncoderSettings(codec="ffv1", width=320, height=240,
+                         pix_fmt="yuv420p", fps=Fraction(25))
+    with VideoEncoder(out_mkv, st) as enc:
+        for fr in frames:
+            enc.write(fr.y, fr.u, fr.v)
+    info = probe_video(out_mkv)
+    assert info.codec_name == "ffv1"
+    with VideoDecoder(out_mkv) as dec:
+        f3 = dec.read_frame()
+    # ffv1 is lossless: bit-exact round trip
+    np.testing.assert_array_equal(f3.y, frames[0].y)
