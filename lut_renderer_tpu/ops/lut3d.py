@@ -339,10 +339,76 @@ def _pass_kernel_resid2(n: int, ones_row: int, n_passes: int,
     (both tables share the full-row scales). Same quantized entries as the
     single-plane residual (trunc(g*127*wb)), so prepare's simulator gates
     both identically."""
-    from jax.experimental.pallas import tpu as pltpu
-
     idx = idx_ref[:]                    # (3, BM) int32
     wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
+    _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
+                 bdive_ref, bdivo_ref, out_ref)
+
+
+def _fused_kernel_resid2(n: int, ones_row: int, interp: str, dmin, dmax,
+                         rgb_ref, lqe_ref, lqo_ref, s_ref,
+                         bdive_ref, bdivo_ref, out_ref):
+    """Fused-taps b-parity residual kernel (see _fused_kernel_int8)."""
+    rgb = rgb_ref[:]
+    bm = rgb.shape[1]
+    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
+    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
+    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
+    idx = jnp.concatenate([pr, pg, pb], axis=0)
+    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
+    wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
+    _resid2_body(n, ones_row, len(passes), idx, wall, lqe_ref, lqo_ref,
+                 s_ref, bdive_ref, bdivo_ref, out_ref)
+
+
+def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
+                         coarse_mode: str, dmin, dmax,
+                         rgb_ref, la_ref, lb_ref, s_ref, bdiv_ref, out_ref):
+    """Fused coarse term of the coarse2 decomposition: FINE coordinates and
+    pass weights computed in-kernel at grid n, then remapped per axis onto
+    the (n+1)//2 coarse grid (prepare.remap_taps_to_coarse_np semantics) and
+    contracted against the coarse table at `coarse_mode` numerics."""
+    rgb = rgb_ref[:]
+    bm = rgb.shape[1]
+    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
+    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
+    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
+    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
+    fine_idx = (pr, pg, pb)
+
+    def remap_axis(p, wp, wn):
+        even = (p % 2) == 0
+        ic = p // 2
+        wpc = jnp.where(even, wp + 0.5 * wn, 0.5 * wp)
+        wnc = jnp.where(even, 0.5 * wn, 0.5 * wp + wn)
+        return ic, wpc, wnc
+
+    idxc_rows = None
+    wall_rows = []
+    for p6 in passes:
+        w6 = p6.reshape(6, bm)
+        ics = []
+        for ax in range(3):
+            ic, wpc, wnc = remap_axis(fine_idx[ax],
+                                      w6[2 * ax:2 * ax + 1, :],
+                                      w6[2 * ax + 1:2 * ax + 2, :])
+            ics.append(ic)
+            wall_rows.extend([wpc, wnc])
+        idxc_rows = ics
+    idxc = jnp.concatenate(idxc_rows, axis=0)
+    wallc = jnp.concatenate(wall_rows, axis=0)
+    if coarse_mode == "int8_fast":
+        _int8_body(m, ones_row, len(passes), False, idxc, wallc,
+                   la_ref, s_ref, bdiv_ref, out_ref)
+    else:
+        _bf16_body(m, ones_row, len(passes), True, m <= 33, idxc, wallc,
+                   la_ref, lb_ref, out_ref)
+
+
+def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
+                 bdive_ref, bdivo_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
     bm = idx.shape[1]
     half = lqe_ref.shape[0]
     ne = (n + 1) // 2
@@ -596,6 +662,111 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     return out[:3]
 
 
+def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
+                       interpret: bool) -> jnp.ndarray:
+    """Fused-taps coarse+residual launch (see _run_coarse2 for semantics):
+    both kernels take the raw (3, P) RGB rows and rebuild coordinates
+    in-kernel — the redundant (1, BM)-row math is far cheaper than the
+    15-27 rows/pixel of HBM tap traffic it replaces."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npix = rgb3.shape[1]
+    dmin = tuple(float(v) for v in prep.domain_min)
+    dmax = tuple(float(v) for v in prep.domain_max)
+    coarse_mode = "exact" if precision.startswith("coarse2x") else "int8_fast"
+    resid_interp = ("trilinear"
+                    if precision.endswith("_tri") and interp != "trilinear"
+                    else interp)
+
+    # residual term
+    rows = prep.rows_pad
+    ne, no = (n + 1) // 2, n // 2
+    r3 = prep.resid_q.reshape(rows, n, n)
+    lqe = jnp.asarray(np.ascontiguousarray(
+        r3[:, ::2, :].reshape(rows, ne * n)), jnp.int8)
+    lqo = jnp.asarray(np.ascontiguousarray(
+        r3[:, 1::2, :].reshape(rows, no * n)), jnp.int8)
+    svr = jnp.asarray(prep.resid_scale, jnp.float32)
+    bdive = jnp.asarray(
+        (np.arange(ne * n, dtype=np.int32) // n).reshape(ne * n, 1))
+    bdivo = jnp.asarray(
+        (np.arange(no * n, dtype=np.int32) // n).reshape(no * n, 1))
+    bm = _block_pixels(n, "int8_resid2",
+                       1 if resid_interp in ("nearest", "trilinear") else 2)
+    assert npix % bm == 0
+    kernel = functools.partial(_fused_kernel_resid2, n, prep.ones_row,
+                               resid_interp, dmin, dmax)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npix // bm,),
+        in_specs=[
+            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, ne * n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, no * n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ne * n, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((no * n, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+        interpret=interpret,
+    )(rgb3, lqe, lqo, svr, bdive, bdivo)
+
+    # coarse term
+    cp = prep.coarse
+    m = cp.size
+    msq = m * m
+    rows_m = cp.rows_pad
+    bmc = _block_pixels(m, coarse_mode,
+                        1 if interp in ("nearest", "trilinear") else 2)
+    assert npix % bmc == 0
+    if coarse_mode == "int8_fast":
+        la = jnp.asarray(
+            np.concatenate([cp.lmat_q1, cp.lmat_q2], axis=0), jnp.int8)
+        lb = jnp.zeros((8, msq), jnp.bfloat16)   # unused placeholder
+        sv = jnp.asarray(
+            np.concatenate([cp.scale_q1, cp.scale_q2, cp.bias_q], axis=0),
+            jnp.float32)
+        a_rows = 2 * rows_m
+    else:
+        la = jnp.asarray(
+            np.concatenate([cp.lmat_hi, cp.lmat_lo], axis=0), jnp.bfloat16)
+        lb = jnp.zeros((8, msq), jnp.bfloat16)
+        sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
+        a_rows = 2 * rows_m
+    bdiv = jnp.asarray(
+        (np.arange(msq, dtype=np.int32) // m).reshape(msq, 1))
+    kernel = functools.partial(_fused_kernel_coarse, n, m, cp.ones_row,
+                               interp, coarse_mode, dmin, dmax)
+    out_c = pl.pallas_call(
+        kernel,
+        grid=(npix // bmc,),
+        in_specs=[
+            pl.BlockSpec((3, bmc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_rows, msq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((msq, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bmc), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+        interpret=interpret,
+    )(rgb3, la, lb, sv, bdiv)
+    return (out + out_c)[:3]
+
+
 def _run_passes(idx3, w_stack, prep, n: int,
                 n_passes: int, mode: str, interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
@@ -785,19 +956,10 @@ def apply_lut_planes(
         gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
         bf = jnp.concatenate([bf, jnp.zeros((pad,), bf.dtype)])
 
+    rgb3 = jnp.stack([rf, gf, bf]).astype(jnp.float32)
     if coarse2:
-        dmin = jnp.asarray(prep.domain_min)
-        dmax = jnp.asarray(prep.domain_max)
-        pr, nr, dr = _scaled_coords(rf, n, dmin[0], dmax[0])
-        pg, ng, dg = _scaled_coords(gf, n, dmin[1], dmax[1])
-        pb, nb, db = _scaled_coords(bf, n, dmin[2], dmax[2])
-        idx3 = jnp.stack([pr, pg, pb])
-        passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg,
-                                    pb, nb, db, n)
-        out = _run_coarse2(idx3, passes, prep, n, interp, precision,
-                           pr, nr, dr, pg, ng, dg, pb, nb, db, interpret)
+        out = _run_coarse2_fused(rgb3, prep, n, interp, precision, interpret)
     else:
-        rgb3 = jnp.stack([rf, gf, bf]).astype(jnp.float32)
         out = _run_fused(rgb3, prep, n, interp, precision, interpret)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
