@@ -22,7 +22,7 @@ the VPU. Exact decomposition per interp mode:
               prev plane; then X-taps (-dX, +dX) with the others one-hot next
   prism       2 passes: triangle over (r, b) split per r tap, linear g
 
-Numerics: corrected-bf16 on the MXU (precision model in _pass_kernel's
+Numerics: corrected-bf16 on the MXU (precision model in _bf16_body's
 docstring) — ~1e-4 absolute vs the f32 colorcore reference, dE76 vs FFmpeg
 lut3d ~1e-4, validated by tests/test_lut3d_op.py + tests/test_oracle_parity.
 precision="fast" halves the matmuls for ~1.3x speed at dE76 <= ~0.46
@@ -197,41 +197,6 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
-def _pass_kernel_int8(n: int, ones_row: int, n_passes: int, wpair: bool,
-                      idx_ref, w_ref, lq_ref, s_ref, bdiv_ref, out_ref):
-    """int8 variants: the LUT is a stacked [q1; q2] int8 pair with per-row
-    f32 dequant scales and the weight tile is OFFSET int8,
-    round(w * 254) - 127 — the offset doubles weight resolution for free
-    (its contribution is the precomputed per-row bias 127 * rowsum, and the
-    MXU is dense so nonzero "zeros" cost nothing). int8 runs the MXU at 2x
-    bf16 (measured 361-373 vs 165-188 TOPS on v5e,
-    experiments/int8_dot_bench.py).
-
-    wpair=False ("int8_fast"): ONE int8 dot per pass. Table error is
-    rowmax * 1.6e-5; the weight LSB (1/254) rotated against cell-local LUT
-    spread dominates — gated per LUT by prepare.simulate_mode_error.
-
-    wpair=True ("int8"): the weight tile also splits into int8 hi/lo halves,
-      T = (q1@W1) s1 + (q2@W1) s2 + (q1@W2) s1/254 + bias
-    (the q2@W2 cross term is < 1e-9 and dropped), i.e. 1.5 int8 dots per
-    pass with weight error 1.5e-5: near-exact.
-
-    A SINGLE-plane table (the coarse2 residual: rows = rows_pad, one scale +
-    one zero-bias row in s_ref) is detected from the s_ref/lq_ref row ratio;
-    the residual's numeric headroom (table values ~1e-2) lets it skip the
-    offset and the round (truncate + 127 scale), which cuts the VPU-bound
-    weight-tile build — the dominant cost at N=65.
-
-    bdiv_ref is the precomputed row->b-plane map (t // n) as an (N^2, 1)
-    input: one equality compare per band mask instead of a two-sided range
-    compare (the W-build is O(N^2 * P) VPU work, so every op counts).
-    """
-    idx = idx_ref[:]                    # (3, BM) int32
-    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
-    _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
-               bdiv_ref, out_ref)
-
-
 def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
                        dmin, dmax, rgb_ref, lq_ref, s_ref, bdiv_ref,
                        out_ref):
@@ -254,6 +219,19 @@ def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
 
 def _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
                bdiv_ref, out_ref):
+    """Shared int8 contraction body: stacked [q1; q2] int8 LUT pair with
+    per-row f32 dequant scales; the weight tile is OFFSET int8,
+    round(w * 254) - 127 (the offset's contribution is the precomputed
+    per-row bias — 2x weight resolution free on a dense MXU). int8 runs the
+    MXU at 2x bf16 (361-373 vs 165-188 TOPS measured, v5e).
+
+    wpair=False ("int8_fast"): ONE int8 dot per pass; the weight LSB (1/254)
+    rotated against cell-local LUT spread dominates the error — gated per
+    LUT by prepare.simulate_mode_error. wpair=True ("int8"): the weight tile
+    also splits into int8 hi/lo halves (1.5 dots/pass, weight error 1.5e-5).
+    A SINGLE-plane table (rows = rows_pad) is detected from the s_ref/lq_ref
+    row ratio and runs the cheap truncate-at-127 path (residual numerics).
+    bdiv_ref maps row -> b-plane (t // n): one equality compare per band."""
     from jax.experimental.pallas import tpu as pltpu
 
     bm = idx.shape[1]
@@ -328,23 +306,6 @@ def _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
         out_ref[c, :] = acc[c]
 
 
-def _pass_kernel_resid2(n: int, ones_row: int, n_passes: int,
-                        idx_ref, w_ref, lqe_ref, lqo_ref, s_ref,
-                        bdive_ref, bdivo_ref, out_ref):
-    """b-parity-split residual kernel: the residual table's even/odd
-    b-planes become two separate int8 matrices. Per pixel the b 2-tap has
-    exactly one even and one odd plane, so each sub-tile is ONE-tap in b —
-    its build is compare+select+mul+convert (4 ops) instead of the two-band
-    construction, and the two int8 dots sum in int32 before one dequant
-    (both tables share the full-row scales). Same quantized entries as the
-    single-plane residual (trunc(g*127*wb)), so prepare's simulator gates
-    both identically."""
-    idx = idx_ref[:]                    # (3, BM) int32
-    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
-    _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
-                 bdive_ref, bdivo_ref, out_ref)
-
-
 def _fused_kernel_resid2(n: int, ones_row: int, interp: str, dmin, dmax,
                          rgb_ref, lqe_ref, lqo_ref, s_ref,
                          bdive_ref, bdivo_ref, out_ref):
@@ -407,6 +368,12 @@ def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
 
 def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
                  bdive_ref, bdivo_ref, out_ref):
+    """b-parity-split residual body: even/odd b-planes are separate int8
+    matrices; per pixel the b 2-tap hits exactly one of each, so each
+    sub-tile is ONE-tap in b (compare+select+mul+convert build) and the two
+    int8 dots sum in int32 before a single dequant (shared row scales).
+    Entries equal the single-plane residual's trunc(g*127*wb), so prepare's
+    simulator gates both identically."""
     from jax.experimental.pallas import tpu as pltpu
 
     bm = idx.shape[1]
@@ -463,33 +430,6 @@ def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
         out_ref[c, :] = acc[c]
 
 
-def _pass_kernel(n: int, ones_row: int, n_passes: int, exact: bool,
-                 fuse: bool, idx_ref, w_ref, lhi_ref, llo_ref, out_ref):
-    """Factorized interpolation passes, bf16 MXU with exact LUT split + sum
-    correction. For N<=33 both passes run in one kernel invocation with one
-    stacked-[hi;lo] dot per pass (concatenating the pass weight matrices
-    into a single dot costs a 4.5 MB VMEM copy per tile — 6 ms/4K frame,
-    measured); larger LUTs keep separate hi/lo matmuls for VMEM headroom.
-
-    Precision model: the LUT matrix is exact (hi + lo bf16 halves, error
-    ~2^-17). The weight matrix W is bf16 (error 2^-9 relative per element);
-    the all-ones LUT row returns each pixel's ACTUAL weight sum, and
-    rescaling by true_sum/measured_sum cancels the common-mode rounding —
-    the residual is 2^-9 * cell-local LUT spread (~1e-4 for real LUTs),
-    far inside the dE76 0.5 budget (verified against FFmpeg lut3d by
-    tests/test_oracle_parity.py + tests/test_lut3d_op.py).
-
-    Mosaic constraints shaping the code: no 16-bit iota/compares; i1 masks
-    from 32-bit compares cannot feed bf16 selects; broadcast_to+reshape
-    outer products hide an expensive relayout (pltpu.repeat tile + iota
-    range-compares instead).
-    """
-    idx = idx_ref[:]                    # (3, BM) int32: pr, pg, pb
-    wall = w_ref[:]                     # (6 * n_passes, BM) f32 tap weights
-    _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
-               lhi_ref, llo_ref, out_ref)
-
-
 def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
                        fuse: bool, dmin, dmax, rgb_ref, lhi_ref, llo_ref,
                        out_ref):
@@ -508,6 +448,14 @@ def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
 
 def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
                lhi_ref, llo_ref, out_ref):
+    """Shared bf16 contraction body. exact: the LUT is split into exact
+    hi+lo bf16 halves (stacked into one dot when `fuse`), and the all-ones
+    LUT row returns each pixel's ACTUAL weight sum so rescaling by
+    true/measured cancels common-mode bf16 weight rounding — residual error
+    ~2^-9 * cell-local LUT spread (~1e-4 on real LUTs). Mosaic constraints:
+    no 16-bit iota/compares; i1-from-i32 masks cannot feed bf16 selects;
+    broadcast+reshape outer products hide a relayout (pltpu.repeat + iota
+    range-compares instead)."""
     from jax.experimental.pallas import tpu as pltpu
 
     bm = idx.shape[1]
@@ -767,141 +715,6 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     return (out + out_c)[:3]
 
 
-def _run_passes(idx3, w_stack, prep, n: int,
-                n_passes: int, mode: str, interpret: bool) -> jnp.ndarray:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    rows_pad = prep.rows_pad
-    nsq = n * n
-    npix = idx3.shape[1]
-    bm = _block_pixels(n, mode, n_passes)
-    assert npix % bm == 0
-
-    if mode == "int8_resid2":
-        rows = prep.rows_pad
-        ne, no = (n + 1) // 2, n // 2
-        r3 = prep.resid_q.reshape(rows, n, n)
-        lqe = jnp.asarray(np.ascontiguousarray(
-            r3[:, ::2, :].reshape(rows, ne * n)), jnp.int8)
-        lqo = jnp.asarray(np.ascontiguousarray(
-            r3[:, 1::2, :].reshape(rows, no * n)), jnp.int8)
-        sv = jnp.asarray(prep.resid_scale, jnp.float32)
-        bdive = jnp.asarray(
-            (np.arange(ne * n, dtype=np.int32) // n).reshape(ne * n, 1))
-        bdivo = jnp.asarray(
-            (np.arange(no * n, dtype=np.int32) // n).reshape(no * n, 1))
-        kernel = functools.partial(_pass_kernel_resid2, n, prep.ones_row,
-                                   n_passes)
-        nw = 6 * n_passes
-        out = pl.pallas_call(
-            kernel,
-            grid=(npix // bm,),
-            in_specs=[
-                pl.BlockSpec((3, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nw, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, ne * n), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, no * n), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ne * n, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((no * n, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
-            interpret=interpret,
-        )(idx3, w_stack, lqe, lqo, sv, bdive, bdivo)
-        return out[:3]
-
-    if mode in ("int8", "int8_fast", "int8_resid"):
-        if mode == "int8_resid":
-            lq = jnp.asarray(prep.resid_q, jnp.int8)
-            sv = jnp.asarray(
-                np.concatenate([prep.resid_scale, prep.resid_bias], axis=0),
-                jnp.float32,
-            )
-            lq_rows, sv_rows = rows_pad, 2 * rows_pad
-        else:
-            lq = jnp.asarray(
-                np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
-            )
-            sv = jnp.asarray(
-                np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
-                               axis=0), jnp.float32
-            )
-            lq_rows, sv_rows = 2 * rows_pad, 3 * rows_pad
-        bdiv = jnp.asarray(
-            (np.arange(nsq, dtype=np.int32) // n).reshape(nsq, 1))
-        kernel = functools.partial(_pass_kernel_int8, n, prep.ones_row,
-                                   n_passes, mode == "int8")
-        nw = 6 * n_passes
-        out = pl.pallas_call(
-            kernel,
-            grid=(npix // bm,),
-            in_specs=[
-                pl.BlockSpec((3, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nw, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((lq_rows, nsq), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sv_rows, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nsq, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
-            interpret=interpret,
-        )(idx3, w_stack, lq, sv, bdiv)
-        return out[:3]
-
-    exact = mode != "fast"
-    fuse = n <= 33
-    if fuse:
-        # the kernel derives hi/lo split from the stacked height vs `exact`
-        lmat_a = jnp.asarray(
-            np.concatenate([prep.lmat_hi, prep.lmat_lo], axis=0)
-            if exact else prep.lmat_hi,
-            jnp.bfloat16,
-        )
-        lmat_b = jnp.zeros((8, nsq), jnp.bfloat16)  # unused placeholder
-        a_rows = 2 * rows_pad if exact else rows_pad
-    else:
-        lmat_a = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
-        lmat_b = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
-        a_rows = rows_pad
-    kernel = functools.partial(_pass_kernel, n, prep.ones_row, n_passes, exact,
-                               fuse)
-    nw = 6 * n_passes
-    out = pl.pallas_call(
-        kernel,
-        grid=(npix // bm,),
-        in_specs=[
-            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_rows, nsq), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lmat_b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
-        interpret=interpret,
-    )(idx3, w_stack, lmat_a, lmat_b)
-    return out[:3]
-
-
-# ---------------------------------------------------------------------------
-# Public entry
-# ---------------------------------------------------------------------------
-
 def apply_lut_planes(
     r: jnp.ndarray,
     g: jnp.ndarray,
@@ -967,51 +780,3 @@ def apply_lut_planes(
     return ro.reshape(shape), go.reshape(shape), bo.reshape(shape)
 
 
-def _run_coarse2(idx3, passes, prep, n, interp, precision,
-                 pr, nr, dr, pg, ng, dg, pb, nb, db, interpret):
-    """Coarse + residual evaluation for big LUTs (prepare.py docstring):
-    interp(L) = interp(U(C)) + resid_interp(R), where the first term runs the
-    int8_fast kernel on the (N+1)/2 grid with per-axis remapped taps (exact —
-    prepare.remap_taps_to_coarse_np) and the second runs the single-plane
-    int8 residual kernel at fine resolution. A "_tri" suffix substitutes
-    trilinear for the residual's interpolation (1 pass instead of 2); a
-    "coarse2x" prefix runs the coarse term at exact-bf16 instead of
-    int8_fast. Both choices are part of the per-LUT gate."""
-    m = prep.coarse.size
-    coarse_tier = "exact" if precision.startswith("coarse2x") else "int8_fast"
-
-    # term 2: residual at fine resolution
-    if precision.endswith("_tri") and interp != "trilinear":
-        resid_passes = _passes_for_interp(
-            "trilinear", pr, nr, dr, pg, ng, dg, pb, nb, db, n)
-    else:
-        resid_passes = passes
-    wr_stack = (jnp.concatenate(resid_passes, axis=0)
-                if len(resid_passes) > 1 else resid_passes[0])
-    out = _run_passes(idx3, wr_stack, prep, n,
-                      len(resid_passes), "int8_resid2", interpret)
-
-    # term 1: coarse grid with remapped taps
-    def remap_axis(p, wp, wn):
-        even = (p % 2) == 0
-        ic = p // 2
-        wpc = jnp.where(even, wp + 0.5 * wn, 0.5 * wp)
-        wnc = jnp.where(even, 0.5 * wn, 0.5 * wp + wn)
-        return ic, wpc, wnc
-
-    idxc = None
-    coarse_passes = []
-    for w6 in passes:
-        rows = []
-        ics = []
-        for ax in range(3):
-            ic, wpc, wnc = remap_axis(idx3[ax], w6[2 * ax], w6[2 * ax + 1])
-            ics.append(ic)
-            rows.extend([wpc, wnc])
-        idxc = jnp.stack(ics)           # identical across passes
-        coarse_passes.append(jnp.stack(rows))
-    wc_stack = (jnp.concatenate(coarse_passes, axis=0)
-                if len(coarse_passes) > 1 else coarse_passes[0])
-    out_c = _run_passes(idxc, wc_stack, prep.coarse, m,
-                        len(coarse_passes), coarse_tier, interpret)
-    return out + out_c
