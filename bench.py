@@ -183,6 +183,12 @@ def measure_extra_configs(lut33) -> dict:
         cfg = RenderConfig(interp="tetrahedral")
         out["fps_4k_65cube_tetra"] = round(
             fused_fps(prep65, cfg, H, W, 2, 8), 2)
+        # BASELINE config 2's actual shape: 1080p, 10-bit source forced to
+        # 8-bit with dither
+        cfg2 = RenderConfig(in_depth=10, out_depth=8, interp="tetrahedral",
+                            dither="ordered")
+        out["fps_1080p_65cube_config2"] = round(
+            fused_fps(prep65, cfg2, 1080, 1920, 4, 10), 2)
         out["precision_65cube"] = prep65.resolve_precision("tetrahedral")
     except Exception as exc:  # pragma: no cover
         out["error_65cube"] = str(exc)[:160]

@@ -262,3 +262,18 @@ def test_pyramid_never_resolves_to_int8(random_lut, rng):
                                   precision="int8_fast", interpret=True)
     rr, gr, br = _reference(r, g, b, random_lut, "pyramid")
     np.testing.assert_allclose(np.asarray(ro), rr, atol=3e-4)
+
+
+def test_int8_wpair_tier_near_exact(random_lut, rng):
+    """The int8 weight-pair tier (1.5 dots/pass) is near-exact: table error
+    1.6e-5, weight error 1.5e-5 — comparable to corrected-bf16."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+
+    r, g, b = _rand_rgb_planes(rng, 4, 256)
+    prep = prepare_lut(random_lut)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                  precision="int8", interpret=True)
+    rr, gr, br = _reference(r, g, b, random_lut, "tetrahedral")
+    got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    want = np.stack([rr, gr, br], -1)
+    assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.05
