@@ -277,3 +277,22 @@ def test_int8_wpair_tier_near_exact(random_lut, rng):
     got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
     want = np.stack([rr, gr, br], -1)
     assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.05
+
+
+def test_49cube_coarse_decomposition(rng):
+    """49^3 (an odd in-the-wild size): coarse grid is 25, decomposition and
+    plain tiers both stay inside the contract."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+
+    lut = Lut3D.identity(49)
+    t = lut.table
+    lut.table = np.clip(t * t * (3 - 2 * t) * 0.9 + t * 0.1, 0, 1)
+    prep = prepare_lut(lut)
+    assert prep.coarse is not None and prep.coarse.size == 25
+    r, g, b = _rand_rgb_planes(rng, 4, 256)
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                  precision="auto", interpret=True)
+    rr, gr, br = _reference(r, g, b, lut, "tetrahedral")
+    got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    want = np.stack([rr, gr, br], -1)
+    assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.5
