@@ -382,7 +382,10 @@ def cmd_presets(args) -> int:
 def cmd_luts(args) -> int:
     if args.action == "clean":
         cleanup_lut_history()
+    needle = (args.filter or "").lower()
     for i, path in enumerate(lut_history()):
+        if needle and needle not in str(path).lower():
+            continue  # the reference's history filter box
         mark = "*" if i == 0 else " "
         print(f"{mark} {path}")
     return 0
@@ -578,6 +581,7 @@ def build_parser() -> argparse.ArgumentParser:
     luts = sub.add_parser("luts", help="LUT history")
     luts.add_argument("action", nargs="?", default="list",
                       choices=["list", "clean"])
+    luts.add_argument("--filter", help="substring filter on history paths")
     luts.set_defaults(fn=cmd_luts)
 
     encoders = sub.add_parser("encoders", help="list available encoders")

@@ -78,6 +78,11 @@ class QueueServer:
                 return {"ok": False, "error": f"unknown task {task_id!r}"}
             self.manager.cancel_task(task_id)
             return {"ok": True}
+        if op == "clear":
+            # drop finished tasks from the table (reference: clear_completed)
+            before = len(self.manager.tasks)
+            self.manager.clear_completed()
+            return {"ok": True, "removed": before - len(self.manager.tasks)}
         if op == "shutdown":
             self.shutdown_requested.set()
             for task_id in list(self.manager.tasks):

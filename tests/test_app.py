@@ -344,3 +344,17 @@ def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     assert cc.enable_persistent_compile_cache() == out  # idempotent
     monkeypatch.setenv("LUT_TPU_JAX_CACHE", "")
     assert cc.cache_dir() is None
+
+
+def test_cli_luts_filter(tmp_path, capsys):
+    from lut_renderer_tpu.app import remember_lut
+
+    a = tmp_path / "warm_look.cube"
+    b = tmp_path / "cool_look.cube"
+    a.write_text("LUT_3D_SIZE 2\n" + "0 0 0\n" * 8)
+    b.write_text("LUT_3D_SIZE 2\n" + "0 0 0\n" * 8)
+    remember_lut(a)
+    remember_lut(b)
+    assert cli_main(["luts", "list", "--filter", "warm"]) == 0
+    out = capsys.readouterr().out
+    assert "warm_look" in out and "cool_look" not in out

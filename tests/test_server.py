@@ -91,3 +91,17 @@ def test_serve_shutdown_cancels_and_refuses(served):
     assert resp["ok"]
     assert server.shutdown_requested.is_set()
     server.wait()  # returns: queue drained
+
+
+def test_serve_clear_completed(served):
+    server, sock, clip, cube, tmp = served
+    resp = request(sock, {
+        "op": "submit", "files": [str(clip)], "lut": str(cube),
+        "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+        "out_dir": str(tmp / "outc"),
+    })
+    assert resp["ok"]
+    _wait_done(sock, resp["task_ids"])
+    cleared = request(sock, {"op": "clear"})
+    assert cleared["ok"] and cleared["removed"] == 1
+    assert request(sock, {"op": "status"})["tasks"] == []
