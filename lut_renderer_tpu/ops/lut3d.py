@@ -48,6 +48,11 @@ from .prepare import PreparedLut
 # int8 programs and 256 otherwise.
 def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 33:
+        # single-pass int8 programs have VMEM headroom for a double block
+        # (trilinear int8: 28.4 -> 23.9 ms/4K measured); 2-pass and bf16
+        # programs spill above 1024
+        if mode in ("int8", "int8_fast") and n_passes == 1:
+            return 2048
         return 1024
     if n <= 49:
         return 512
@@ -672,8 +677,10 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     m = cp.size
     msq = m * m
     rows_m = cp.rows_pad
-    bmc = _block_pixels(m, coarse_mode,
-                        1 if interp in ("nearest", "trilinear") else 2)
+    # capped at the coarse2 padding granularity (apply_lut_planes pads 1024)
+    bmc = min(1024, _block_pixels(m, coarse_mode,
+                                  1 if interp in ("nearest", "trilinear")
+                                  else 2))
     assert npix % bmc == 0
     if coarse_mode == "int8_fast":
         la = jnp.asarray(
