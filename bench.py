@@ -197,6 +197,10 @@ def measure_extra_configs(lut33) -> dict:
         cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral")
         out["fps_8k_10bit_tetra"] = round(
             fused_fps(prep33, cfg, 4320, 7680, 2, 10), 2)
+        # BASELINE config 1's shape: 1080p 8-bit, trilinear fast delivery
+        cfg1 = RenderConfig(interp="trilinear")
+        out["fps_1080p_trilinear_config1"] = round(
+            fused_fps(prep33, cfg1, 1080, 1920, 8, 8), 2)
     except Exception as exc:  # pragma: no cover
         out["error_8k"] = str(exc)[:160]
     return out

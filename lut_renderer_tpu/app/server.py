@@ -78,6 +78,19 @@ class QueueServer:
                 return {"ok": False, "error": f"unknown task {task_id!r}"}
             self.manager.cancel_task(task_id)
             return {"ok": True}
+        if op == "reprocess":
+            # re-enqueue a finished task with a fresh output name and
+            # optionally fresh params (reference: _reprocess_selected)
+            task_id = req.get("task_id", "")
+            params = (ProcessingParams.from_dict(req["params"])
+                      if req.get("params") else None)
+            ok = self.manager.reprocess_task(task_id, params=params)
+            if not ok:
+                return {"ok": False,
+                        "error": f"cannot reprocess {task_id!r} (unknown or "
+                                 f"running)"}
+            self.manager.start_all()
+            return {"ok": True}
         if op == "clear":
             # drop finished tasks from the table (reference: clear_completed)
             before = len(self.manager.tasks)

@@ -105,3 +105,23 @@ def test_serve_clear_completed(served):
     cleared = request(sock, {"op": "clear"})
     assert cleared["ok"] and cleared["removed"] == 1
     assert request(sock, {"op": "status"})["tasks"] == []
+
+
+def test_serve_reprocess(served):
+    server, sock, clip, cube, tmp = served
+    resp = request(sock, {
+        "op": "submit", "files": [str(clip)], "lut": str(cube),
+        "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+        "out_dir": str(tmp / "outr"),
+    })
+    (tid,) = resp["task_ids"]
+    first = _wait_done(sock, [tid])[tid]
+    assert first["status"] == "completed"
+    rep = request(sock, {"op": "reprocess", "task_id": tid,
+                         "params": {"video_codec": "mpeg4", "bitrate": "2M"}})
+    assert rep["ok"], rep
+    second = _wait_done(sock, [tid])[tid]
+    assert second["status"] == "completed"
+    assert second["output"] != first["output"]   # fresh anti-collision name
+    assert Path(second["output"]).exists()
+    assert not request(sock, {"op": "reprocess", "task_id": "ghost"})["ok"]
