@@ -93,3 +93,31 @@ def test_parse_file_keeps_title_on_native_path(tmp_path):
     path = write_cube_file(tmp_path / "titled.cube", lut)
     parsed = parse_cube_file(path)  # native fast path when available
     assert parsed.title == "My Look v2"
+
+
+def test_parse_cube_fuzz_never_crashes(rng):
+    """Garbage inputs must raise CubeParseError (or parse), never crash with
+    an unrelated exception — the parser fronts untrusted user files."""
+    corpora = [
+        "",
+        "\x00\x01\x02",
+        "LUT_3D_SIZE\n",
+        "LUT_3D_SIZE -5\n",
+        "LUT_3D_SIZE 2\nTITLE\n0 0 0\n" * 3,
+        "LUT_3D_SIZE 2\nDOMAIN_MIN 0 0\n" + "0 0 0\n" * 8,
+        "LUT_3D_SIZE 2\n" + "nan nan nan\n" * 8,
+        "LUT_3D_SIZE 2\n" + "1e400 0 0\n" * 8,
+        "DOMAIN_MAX a b c\nLUT_3D_SIZE 2\n" + "0 0 0\n" * 8,
+        "LUT_3D_SIZE 2\n" + "0 0\n" * 8,          # short rows
+        "TITLE \"x\"\nLUT_3D_SIZE 3\n" + "0 0 0\n" * 5,  # wrong count
+    ]
+    # plus random byte soup
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        corpora.append(bytes(r.integers(32, 127, 200, dtype=np.uint8))
+                       .decode("ascii"))
+    for text in corpora:
+        try:
+            parse_cube(text)
+        except CubeParseError:
+            pass  # the contract
