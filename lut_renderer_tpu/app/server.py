@@ -33,7 +33,7 @@ import threading
 from pathlib import Path
 from typing import Optional
 
-from ..models import ProcessingParams, TaskStatus
+from ..models import ProcessingParams
 from ..tasks import TaskManager
 from .taskfactory import create_tasks
 

@@ -18,14 +18,13 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from fractions import Fraction
 from pathlib import Path
 from typing import Callable, Optional
 
 import numpy as np
 
 from ..hostio.decode import VideoDecoder
-from ..hostio.encode import EncoderSettings, VideoEncoder
+from ..hostio.encode import VideoEncoder
 from ..models import VideoInfo
 from ..ops.prepare import PreparedLut
 from ..ops.render import make_render_fn
