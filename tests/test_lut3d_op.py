@@ -296,3 +296,38 @@ def test_49cube_coarse_decomposition(rng):
     got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
     want = np.stack([rr, gr, br], -1)
     assert max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1)) < 0.5
+
+
+def test_auto_gate_accepts_production_style_luts():
+    """The point of per-LUT gating is that REAL grading LUTs get int8 speed
+    while pathological ones fall back — if every realistic style resolved to
+    'exact' the fast tiers would be dead weight. Five production-style looks
+    at 33^3 must all clear the gate for tetrahedral."""
+    ramp = np.linspace(0, 1, 33, dtype=np.float32)
+    r, g, b = np.meshgrid(ramp, ramp, ramp, indexing="ij")
+    rgb0 = np.stack([r, g, b], -1)
+    luma = (0.2126 * r + 0.7152 * g + 0.0722 * b)[..., None]
+
+    def mk(table):
+        lut = Lut3D.identity(33)
+        lut.table = np.clip(table, 0, 1).astype(np.float32)
+        return lut
+
+    scurve = rgb0 * rgb0 * (3 - 2 * rgb0)
+    styles = {
+        "film_scurve": 0.85 * scurve + 0.15 * rgb0,
+        "log_to_709": np.clip((np.power(10.0, (rgb0 - 0.42) / 0.26) - 0.037)
+                              / 5.0, 0, 1) ** (1 / 2.2),
+        "bleach_bypass": 0.6 * rgb0 + 0.4 * luma,
+        "day_for_night": (0.55 * rgb0 * np.array([0.7, 0.85, 1.15],
+                                                 np.float32)),
+        "warm_lift": rgb0 ** np.array([0.92, 1.0, 1.1], np.float32) * 0.97
+                     + 0.03,
+    }
+    resolved = {}
+    for name, table in styles.items():
+        prep = prepare_lut(mk(table))
+        resolved[name] = prep.resolve_precision("tetrahedral")
+    fast_tiers = {m for m in resolved.values() if m != "exact"}
+    assert len(fast_tiers) >= 1 and sum(
+        1 for m in resolved.values() if m != "exact") >= 4, resolved
