@@ -144,9 +144,11 @@ def _film_lut65():
     return lut
 
 
-def measure_extra_configs(lut33) -> dict:
+def measure_extra_configs(lut33, deadline: float) -> dict:
     """Config-2 (65^3) and config-5-class (8K 10-bit) evidence fields:
-    device-resident fused renders at auto precision (resolved tier named)."""
+    device-resident fused renders at auto precision (resolved tier named).
+    Each field is skipped once `deadline` (perf_counter seconds) passes so a
+    slow compile can never cost the headline line itself."""
     import jax
     import jax.numpy as jnp
 
@@ -155,6 +157,12 @@ def measure_extra_configs(lut33) -> dict:
 
     out = {}
     rng = np.random.default_rng(2)
+
+    def over_budget(tag):
+        if time.perf_counter() > deadline:
+            out["extras_truncated_at"] = tag
+            return True
+        return False
 
     def fused_fps(prep, cfg, h, w, batch, depth):
         hi = (1 << depth) - 1
@@ -179,34 +187,41 @@ def measure_extra_configs(lut33) -> dict:
         return batch / float(np.median(times))
 
     try:
+        if over_budget("65cube"):
+            return out
         prep65 = prepare_lut(_film_lut65())
         cfg = RenderConfig(interp="tetrahedral")
         out["fps_4k_65cube_tetra"] = round(
             fused_fps(prep65, cfg, H, W, 2, 8), 2)
+        out["precision_65cube"] = prep65.resolve_precision("tetrahedral")
         # BASELINE config 2's actual shape: 1080p, 10-bit source forced to
         # 8-bit with dither
-        cfg2 = RenderConfig(in_depth=10, out_depth=8, interp="tetrahedral",
-                            dither="ordered")
-        out["fps_1080p_65cube_config2"] = round(
-            fused_fps(prep65, cfg2, 1080, 1920, 4, 10), 2)
-        out["precision_65cube"] = prep65.resolve_precision("tetrahedral")
+        if not over_budget("65cube_config2"):
+            cfg2 = RenderConfig(in_depth=10, out_depth=8,
+                                interp="tetrahedral", dither="ordered")
+            out["fps_1080p_65cube_config2"] = round(
+                fused_fps(prep65, cfg2, 1080, 1920, 4, 10), 2)
     except Exception as exc:  # pragma: no cover
         out["error_65cube"] = str(exc)[:160]
     try:
+        if over_budget("8k"):
+            return out
         prep33 = prepare_lut(lut33)
         cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral")
         out["fps_8k_10bit_tetra"] = round(
             fused_fps(prep33, cfg, 4320, 7680, 2, 10), 2)
         # BASELINE config 1's shape: 1080p 8-bit, trilinear fast delivery
-        cfg1 = RenderConfig(interp="trilinear")
-        out["fps_1080p_trilinear_config1"] = round(
-            fused_fps(prep33, cfg1, 1080, 1920, 8, 8), 2)
+        if not over_budget("config1"):
+            cfg1 = RenderConfig(interp="trilinear")
+            out["fps_1080p_trilinear_config1"] = round(
+                fused_fps(prep33, cfg1, 1080, 1920, 8, 8), 2)
     except Exception as exc:  # pragma: no cover
         out["error_8k"] = str(exc)[:160]
     return out
 
 
 def main() -> int:
+    t_start = time.perf_counter()
     lut, cube = _make_lut()
     result = {
         "metric": "4K frames/sec/chip LUT-applied (tetrahedral 33^3); "
@@ -237,7 +252,8 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover
         result["parity_error"] = str(exc)[:200]
     if result.get("platform") == "tpu":
-        result.update(measure_extra_configs(lut))
+        # leave ~7 minutes total: extras are evidence, never worth the line
+        result.update(measure_extra_configs(lut, t_start + 420.0))
 
     print(json.dumps(result))
     return 0
