@@ -199,8 +199,10 @@ class VideoEncoder:
                 opts["profile"] = s.profile
             if s.level:
                 opts["level"] = s.level
-            if s.threads:
-                opts["threads"] = s.threads
+            # the ffmpeg binary auto-threads encoders by default; a raw
+            # libavcodec context does not (thread_count=1) — match the
+            # reference's effective behavior unless the user pins a count
+            opts["threads"] = s.threads if s.threads else "auto"
             if s.color_primaries:
                 opts["color_primaries"] = s.color_primaries
             if s.color_trc:
