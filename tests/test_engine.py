@@ -326,3 +326,19 @@ def test_run_stage_unwritable_output_fails_cleanly(tmp_path):
                       video_codec="mpeg4")
     res = run_stage(spec, info, None, lut_strategy="gather")
     assert not res.ok and res.error
+
+
+def test_run_stage_profiler_trace(tmp_path):
+    """--profile writes a jax profiler trace (SURVEY §5.1's tracing story)."""
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=4)
+    info = probe_video(clip)
+    spec = build_render_spec(Path(clip), tmp_path / "o.mov",
+                             ProcessingParams(video_codec="prores_ks"),
+                             None, info)
+    tdir = tmp_path / "trace"
+    res = run_stage(spec, info, None, lut_strategy="gather",
+                    profile_dir=str(tdir))
+    assert res.ok, res.error
+    assert any(tdir.rglob("*"))  # trace artifacts written

@@ -125,3 +125,27 @@ def test_serve_reprocess(served):
     assert second["output"] != first["output"]   # fresh anti-collision name
     assert Path(second["output"]).exists()
     assert not request(sock, {"op": "reprocess", "task_id": "ghost"})["ok"]
+
+
+def test_serve_concurrent_clients(served):
+    """Several clients hammering status/ping concurrently get coherent
+    responses (threaded handler, shared manager)."""
+    import threading
+
+    server, sock, clip, cube, tmp = served
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(20):
+                assert request(sock, {"op": "ping"})["ok"]
+                assert request(sock, {"op": "status"})["ok"]
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
