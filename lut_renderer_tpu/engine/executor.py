@@ -131,6 +131,16 @@ def run_stage(
             f"interp={cfg.interp}, dither={cfg.dither}, "
             f"matrix {cfg.matrix_in}->{cfg.matrix_out}"
         )
+        if prep is not None and cfg.apply_lut and cfg.lut_strategy == "mxu":
+            # which numeric tier the per-LUT gate picked, and its simulated
+            # worst-case error (observability for the precision machinery)
+            tier = prep.resolve_precision(cfg.interp, cfg.lut_precision)
+            if tier in ("exact", "fast"):
+                log(f"engine: LUT kernel precision={tier}")
+            else:
+                log(f"engine: LUT kernel precision={tier} "
+                    f"(simulated worst-case dE76 "
+                    f"{prep.mode_error(cfg.interp, tier):.3f}, budget 0.40)")
 
         audio_from = (
             Path(spec.source)
