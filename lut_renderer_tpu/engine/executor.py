@@ -120,6 +120,15 @@ def run_stage(
         cfg = derive_render_config(spec, source_info)
         if lut_strategy != "mxu":
             cfg = _dc.replace(cfg, lut_strategy=lut_strategy)
+        elif cfg.apply_lut:
+            # the Pallas MXU kernel only compiles on TPU; on a CPU-only
+            # host fall back to the XLA gather path (what `doctor` promises)
+            import jax as _jx
+
+            if _jx.devices()[0].platform != "tpu":
+                cfg = _dc.replace(cfg, lut_strategy="gather")
+                log("engine: no TPU visible — LUT kernel using the XLA "
+                    "gather fallback")
         out_w, out_h = parse_resolution(spec.resolution) or (w, h)
         enc_settings = derive_encoder_settings(spec, source_info, out_w, out_h)
         fps = output_fps(spec, source_info)

@@ -342,3 +342,23 @@ def test_run_stage_profiler_trace(tmp_path):
                     profile_dir=str(tdir))
     assert res.ok, res.error
     assert any(tdir.rglob("*"))  # trace artifacts written
+
+
+def test_run_stage_cpu_falls_back_from_mxu(tmp_path):
+    """On a CPU-only host the default mxu strategy must auto-fall back to
+    the gather path instead of dying in Pallas (the doctor's promise)."""
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file, parse_cube_file
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=4)
+    info = probe_video(clip)
+    cube = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    prep = prepare_lut(parse_cube_file(cube))
+    spec = build_render_spec(Path(clip), tmp_path / "o.mov",
+                             ProcessingParams(video_codec="prores_ks"),
+                             Path(cube), info)
+    logs = []
+    res = run_stage(spec, info, prep, log_cb=logs.append,
+                    lut_strategy="mxu")  # the production default
+    assert res.ok, res.error
+    assert any("gather fallback" in m for m in logs)
