@@ -50,11 +50,15 @@ def create_tasks(
         batch.warnings.append("no video files found in the given paths")
         return batch
 
-    if params.processing_mode == "pro" and not master_dir:
-        raise ValueError(
-            "Pro mastering mode requires a master cache directory "
-            "(set --master-dir)."
-        )
+    if params.processing_mode == "pro":
+        if not master_dir:
+            raise ValueError(
+                "Pro mastering mode requires a master cache directory "
+                "(set --master-dir)."
+            )
+        # the reference's dir comes from a picker so it always exists; the
+        # headless analog creates it (out_dir gets the same treatment below)
+        Path(master_dir).mkdir(parents=True, exist_ok=True)
 
     total_estimate = 0
     for src in files:

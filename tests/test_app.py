@@ -358,3 +358,23 @@ def test_cli_luts_filter(tmp_path, capsys):
     assert cli_main(["luts", "list", "--filter", "warm"]) == 0
     out = capsys.readouterr().out
     assert "warm_look" in out and "cool_look" not in out
+
+
+def test_create_tasks_creates_master_dir(tmp_path, monkeypatch):
+    """Pro mode with a not-yet-existing master dir creates it (the headless
+    analog of the reference's directory picker)."""
+    from pathlib import Path as _P
+
+    from lut_renderer_tpu.app.taskfactory import create_tasks
+    from lut_renderer_tpu.models import VideoInfo
+
+    src = tmp_path / "a.mp4"
+    src.write_bytes(b"x")
+    master = tmp_path / "deep" / "masters"
+    batch = create_tasks(
+        [src], ProcessingParams(processing_mode="pro", video_codec="mpeg4"),
+        out_dir=tmp_path / "out", master_dir=master,
+        probe_fn=lambda p: VideoInfo(pix_fmt="yuv420p", bit_depth=8),
+    )
+    assert master.is_dir()
+    assert batch.tasks and batch.tasks[0].intermediate_path.parent == master
