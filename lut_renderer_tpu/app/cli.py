@@ -312,13 +312,16 @@ def cmd_probe(args) -> int:
             }, default=str))
         else:
             print(f"{f}:")
-            print(f"  video: {info.codec_name} {info.resolution} "
-                  f"{info.pix_fmt} {info.bit_depth}bit "
-                  f"{info.fps if info.fps else '?'}fps"
-                  f"{' VFR' if info.is_vfr else ''}")
-            print(f"  color: matrix={info.colorspace} primaries="
-                  f"{info.color_primaries} trc={info.color_trc} "
-                  f"range={info.color_range}")
+            if info.codec_name:
+                print(f"  video: {info.codec_name} {info.resolution} "
+                      f"{info.pix_fmt} {info.bit_depth}bit "
+                      f"{info.fps if info.fps else '?'}fps"
+                      f"{' VFR' if info.is_vfr else ''}")
+                print(f"  color: matrix={info.colorspace} primaries="
+                      f"{info.color_primaries} trc={info.color_trc} "
+                      f"range={info.color_range}")
+            else:
+                print("  video: none")
             print(f"  duration: {info.duration}s  bitrate: {info.bitrate}  "
                   f"frames: {info.nb_frames}")
             if info.audio_codec:
