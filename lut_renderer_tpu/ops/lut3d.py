@@ -418,10 +418,12 @@ def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
         wo = jnp.where(even, jnp.where(clamp, 0.0, wbn), wbp)
         true_sum = (wts[2:3, :] + wts[3:4, :]) * (wbp + wbn)
 
-        ae = pltpu.repeat(g127, ne, axis=0)          # (ne*N, BM)
-        w8e = (ae * jnp.where(bdive == pe, we, 0.0)).astype(jnp.int8)
-        ao = pltpu.repeat(g127, n // 2, axis=0)      # ((n//2)*N, BM)
-        w8o = (ao * jnp.where(bdivo == po, wo, 0.0)).astype(jnp.int8)
+        # fold the (scalar-per-pixel) b-weight into the repeat SOURCE so the
+        # full-size build is select+convert only (no (rows, BM) multiply)
+        ae = pltpu.repeat(g127 * we, ne, axis=0)     # (ne*N, BM)
+        w8e = jnp.where(bdive == pe, ae, 0.0).astype(jnp.int8)
+        ao = pltpu.repeat(g127 * wo, n // 2, axis=0)  # ((n//2)*N, BM)
+        w8o = jnp.where(bdivo == po, ao, 0.0).astype(jnp.int8)
         seg = (jnp.dot(lqe, w8e, preferred_element_type=jnp.int32)
                + jnp.dot(lqo, w8o, preferred_element_type=jnp.int32))
         t = seg.astype(jnp.float32) * s1
