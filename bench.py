@@ -222,6 +222,14 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
 
 def main() -> int:
     t_start = time.perf_counter()
+    try:
+        from lut_renderer_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
+    except Exception:
+        pass
     lut, cube = _make_lut()
     result = {
         "metric": "4K frames/sec/chip LUT-applied (tetrahedral 33^3); "
