@@ -280,6 +280,13 @@ def cmd_resume(args) -> int:
     manager = TaskManager(max_concurrency=args.concurrency,
                           lut_strategy=args.lut_strategy)
     n = manager.load_queue(args.queue_file)
+    if args.redo:
+        # re-enqueue finished tasks with fresh output names (the reference's
+        # per-row reprocess, applied queue-wide); pending ones are untouched
+        finished = [tid for tid, t in manager.tasks.items()
+                    if t.status.value in ("completed", "failed", "canceled")]
+        redone = sum(1 for tid in finished if manager.reprocess_task(tid))
+        print(f"re-enqueued {redone} finished task(s)")
     pending = sum(1 for t in manager.tasks.values() if t.status.value == "pending")
     print(f"loaded {n} tasks ({pending} pending)")
     if not pending:
@@ -561,6 +568,9 @@ def build_parser() -> argparse.ArgumentParser:
     resume.add_argument("--reapply", action="store_true",
                         help="re-apply the current parameter flags to all "
                              "pending tasks before starting")
+    resume.add_argument("--redo", action="store_true",
+                        help="re-enqueue finished tasks too (fresh output "
+                             "names; combine with --reapply for new params)")
     resume.add_argument("--lut", help=".cube LUT (with --reapply)")
     _add_param_flags(resume)
     resume.set_defaults(fn=cmd_resume)

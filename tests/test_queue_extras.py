@@ -132,3 +132,25 @@ def test_cli_doctor(capsys):
     assert "bundled FFmpeg libs" in out and "ok" in out
     assert "prores_ks" in out
     assert rc == 0
+
+
+def test_resume_redo_reenqueues_finished(tmp_path):
+    """`resume --redo`: finished tasks come back PENDING with fresh output
+    names (the reference's per-row reprocess, queue-wide)."""
+    from lut_renderer_tpu.app.cli import main as cli_main
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=4)
+    cube = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    q = tmp_path / "q.json"
+    rc = cli_main(["render", str(clip), "--lut", str(cube),
+                   "--codec", "mpeg4", "--bitrate", "1M",
+                   "--out-dir", str(tmp_path / "out"),
+                   "--lut-strategy", "gather",
+                   "--save-queue", str(q)])
+    assert rc == 0
+    rc = cli_main(["resume", str(q), "--redo", "--lut-strategy", "gather"])
+    assert rc == 0
+    outs = sorted(p.name for p in (tmp_path / "out").glob("*.mp4"))
+    assert outs == ["c_out.mp4", "c_out_1.mp4"]
