@@ -41,9 +41,9 @@ from ..models import ProcessingParams, VideoInfo
 _BITRATE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)([kKmMgG]?)\s*$")
 
 VALID_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism", "cubic"}
-# Interp modes natively implemented by the TPU kernel; others fall back like
-# the reference falls back unknown names (pyramid/prism/cubic are accepted
-# names upstream but the engine maps them to tetrahedral with a note).
+# Interp modes natively implemented by the TPU kernel (all of FFmpeg lut3d's
+# working set). "cubic" is an accepted NAME upstream that FFmpeg's own lut3d
+# rejects at runtime; here it degrades to tetrahedral with a note.
 KERNEL_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism"}
 
 TEN_BIT_CODECS = {"prores_ks", "libx265", "hevc_videotoolbox"}
