@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -483,7 +484,11 @@ def cmd_serve(args) -> int:
             server.manager.cancel_task(task_id)
         server.manager.wait_all(timeout=120)
         server.stop()
-    return 0
+    # hard exit: TPU runtime teardown (axon tunnel threads) can wedge a
+    # normal interpreter exit; a daemon's shutdown must be prompt
+    print("lut-tpu serve: stopped")
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def cmd_client(args) -> int:
