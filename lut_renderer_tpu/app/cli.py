@@ -3,12 +3,18 @@
 The interactive surface of the rebuild (the reference's Qt window is not part
 of the pixel path; SURVEY.md §7.7). Subcommands:
 
-  render    queue files through the TPU pipeline (fast or pro mode)
+  render    queue files through the TPU pipeline (fast or pro mode);
+            --watch opens the live queue monitor, --notify rings on finish
+  resume    re-run a saved queue (--reapply fresh params, --redo finished)
+  serve     warm render daemon over a Unix socket (JSON-lines protocol)
+  client    send one request to a running daemon
   probe     print probe info for files (ffprobe-replacement output)
   presets   list / show / save / delete / rename parameter presets
-  luts      show / clean the LUT history
+  luts      show / clean / filter the LUT history
   encoders  list encoders available in the bundled libraries
   thumb     generate a cached thumbnail for a file
+  doctor    environment health check
+  help      per-parameter help topics
 """
 
 from __future__ import annotations
