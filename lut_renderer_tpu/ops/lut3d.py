@@ -311,63 +311,79 @@ def _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
         out_ref[c, :] = acc[c]
 
 
-def _fused_kernel_resid2(n: int, ones_row: int, interp: str, dmin, dmax,
+def _remap_axis_jnp(p, wp, wn):
+    """Per-axis fine->coarse tap remap (prepare.remap_taps_to_coarse_np):
+    exact for separable-linear upsampling; tap sums preserved."""
+    even = (p % 2) == 0
+    ic = p // 2
+    wpc = jnp.where(even, wp + 0.5 * wn, 0.5 * wp)
+    wnc = jnp.where(even, 0.5 * wn, 0.5 * wp + wn)
+    return ic, wpc, wnc
+
+
+def _fine_taps_remapped(rgb, n_fine: int, n_out: int, interp: str,
+                        dmin, dmax):
+    """In-kernel: coordinates + pass weights at grid n_fine, then remapped
+    down to n_out (one halving per step: 65 -> 33 -> 17 ...). Returns
+    (idx (3, BM), wall (6*passes, BM))."""
+    bm = rgb.shape[1]
+    pr, nr, dr = _scaled_coords(rgb[0:1, :], n_fine, dmin[0], dmax[0])
+    pg, ng, dg = _scaled_coords(rgb[1:2, :], n_fine, dmin[1], dmax[1])
+    pb, nb, db = _scaled_coords(rgb[2:3, :], n_fine, dmin[2], dmax[2])
+    passes = [p.reshape(6, bm) for p in _passes_for_interp(
+        interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n_fine)]
+    idx_axes = [pr, pg, pb]
+    cur = n_fine
+    while cur > n_out:
+        new_passes = []
+        for w6 in passes:
+            rows = []
+            new_idx = []
+            for ax in range(3):
+                ic, wpc, wnc = _remap_axis_jnp(
+                    idx_axes[ax], w6[2 * ax:2 * ax + 1, :],
+                    w6[2 * ax + 1:2 * ax + 2, :])
+                new_idx.append(ic)
+                rows.extend([wpc, wnc])
+            new_passes.append(jnp.concatenate(rows, axis=0))
+        idx_axes = new_idx  # identical across passes (depends on p only)
+        passes = new_passes
+        cur = (cur + 1) // 2
+    assert cur == n_out, (n_fine, n_out)
+    idx = jnp.concatenate(idx_axes, axis=0)
+    wall = jnp.concatenate(passes, axis=0)
+    return idx, wall, len(passes)
+
+
+def _fused_kernel_resid2(n_fine: int, n_resid: int, ones_row: int,
+                         interp: str, dmin, dmax,
                          rgb_ref, lqe_ref, lqo_ref, s_ref,
                          bdive_ref, bdivo_ref, out_ref):
-    """Fused-taps b-parity residual kernel (see _fused_kernel_int8)."""
+    """Fused-taps b-parity residual kernel (see _fused_kernel_int8).
+    n_resid < n_fine evaluates a NESTED residual (e.g. R33 inside the
+    65 -> 33 -> 17 recursion): fine taps are remapped down exactly."""
     rgb = rgb_ref[:]
-    bm = rgb.shape[1]
-    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
-    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
-    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
-    idx = jnp.concatenate([pr, pg, pb], axis=0)
-    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
-    wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _resid2_body(n, ones_row, len(passes), idx, wall, lqe_ref, lqo_ref,
+    idx, wall, n_passes = _fine_taps_remapped(rgb, n_fine, n_resid, interp,
+                                              dmin, dmax)
+    _resid2_body(n_resid, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref,
                  s_ref, bdive_ref, bdivo_ref, out_ref)
 
 
 def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
                          coarse_mode: str, dmin, dmax,
                          rgb_ref, la_ref, lb_ref, s_ref, bdiv_ref, out_ref):
-    """Fused coarse term of the coarse2 decomposition: FINE coordinates and
-    pass weights computed in-kernel at grid n, then remapped per axis onto
-    the (n+1)//2 coarse grid (prepare.remap_taps_to_coarse_np semantics) and
+    """Fused coarse term of the coarse decomposition: FINE coordinates and
+    pass weights computed in-kernel at grid n, then remapped per axis down
+    to grid m — one halving per level, so m = 33 is the coarse2 term and
+    m = 17 the doubly-remapped term of the 3-level recursion — and
     contracted against the coarse table at `coarse_mode` numerics."""
     rgb = rgb_ref[:]
-    bm = rgb.shape[1]
-    pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
-    pg, ng, dg = _scaled_coords(rgb[1:2, :], n, dmin[1], dmax[1])
-    pb, nb, db = _scaled_coords(rgb[2:3, :], n, dmin[2], dmax[2])
-    passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
-    fine_idx = (pr, pg, pb)
-
-    def remap_axis(p, wp, wn):
-        even = (p % 2) == 0
-        ic = p // 2
-        wpc = jnp.where(even, wp + 0.5 * wn, 0.5 * wp)
-        wnc = jnp.where(even, 0.5 * wn, 0.5 * wp + wn)
-        return ic, wpc, wnc
-
-    idxc_rows = None
-    wall_rows = []
-    for p6 in passes:
-        w6 = p6.reshape(6, bm)
-        ics = []
-        for ax in range(3):
-            ic, wpc, wnc = remap_axis(fine_idx[ax],
-                                      w6[2 * ax:2 * ax + 1, :],
-                                      w6[2 * ax + 1:2 * ax + 2, :])
-            ics.append(ic)
-            wall_rows.extend([wpc, wnc])
-        idxc_rows = ics
-    idxc = jnp.concatenate(idxc_rows, axis=0)
-    wallc = jnp.concatenate(wall_rows, axis=0)
+    idxc, wallc, n_passes = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
-        _int8_body(m, ones_row, len(passes), False, idxc, wallc,
+        _int8_body(m, ones_row, n_passes, False, idxc, wallc,
                    la_ref, s_ref, bdiv_ref, out_ref)
     else:
-        _bf16_body(m, ones_row, len(passes), True, m <= 33, idxc, wallc,
+        _bf16_body(m, ones_row, n_passes, True, m <= 33, idxc, wallc,
                    la_ref, lb_ref, out_ref)
 
 
@@ -617,55 +633,47 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     return out[:3]
 
 
-def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
-                       interpret: bool) -> jnp.ndarray:
-    """Fused-taps coarse+residual launch (see _run_coarse2 for semantics):
-    both kernels take the raw (3, P) RGB rows and rebuild coordinates
-    in-kernel — the redundant (1, BM)-row math is far cheaper than the
-    15-27 rows/pixel of HBM tap traffic it replaces."""
+def _launch_resid2(rgb3, owner, n_fine: int, n_resid: int,
+                   interp_used: str, dmin, dmax, interpret: bool):
+    """Launch the b-parity residual kernel for `owner`'s residual tables at
+    grid n_resid, with taps computed at n_fine and remapped down."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     npix = rgb3.shape[1]
-    dmin = tuple(float(v) for v in prep.domain_min)
-    dmax = tuple(float(v) for v in prep.domain_max)
-    coarse_mode = "exact" if precision.startswith("coarse2x") else "int8_fast"
-    resid_interp = ("trilinear"
-                    if precision.endswith("_tri") and interp != "trilinear"
-                    else interp)
-
-    # residual term
-    rows = prep.rows_pad
-    ne, no = (n + 1) // 2, n // 2
-    r3 = prep.resid_q.reshape(rows, n, n)
+    rows = owner.rows_pad
+    nr = n_resid
+    ne, no = (nr + 1) // 2, nr // 2
+    r3 = owner.resid_q.reshape(rows, nr, nr)
     lqe = jnp.asarray(np.ascontiguousarray(
-        r3[:, ::2, :].reshape(rows, ne * n)), jnp.int8)
+        r3[:, ::2, :].reshape(rows, ne * nr)), jnp.int8)
     lqo = jnp.asarray(np.ascontiguousarray(
-        r3[:, 1::2, :].reshape(rows, no * n)), jnp.int8)
-    svr = jnp.asarray(prep.resid_scale, jnp.float32)
+        r3[:, 1::2, :].reshape(rows, no * nr)), jnp.int8)
+    svr = jnp.asarray(owner.resid_scale, jnp.float32)
     bdive = jnp.asarray(
-        (np.arange(ne * n, dtype=np.int32) // n).reshape(ne * n, 1))
+        (np.arange(ne * nr, dtype=np.int32) // nr).reshape(ne * nr, 1))
     bdivo = jnp.asarray(
-        (np.arange(no * n, dtype=np.int32) // n).reshape(no * n, 1))
-    bm = _block_pixels(n, "int8_resid2",
-                       1 if resid_interp in ("nearest", "trilinear") else 2)
+        (np.arange(no * nr, dtype=np.int32) // nr).reshape(no * nr, 1))
+    bm = min(1024, _block_pixels(
+        nr, "int8_resid2",
+        1 if interp_used in ("nearest", "trilinear") else 2))
     assert npix % bm == 0
-    kernel = functools.partial(_fused_kernel_resid2, n, prep.ones_row,
-                               resid_interp, dmin, dmax)
-    out = pl.pallas_call(
+    kernel = functools.partial(_fused_kernel_resid2, n_fine, nr,
+                               owner.ones_row, interp_used, dmin, dmax)
+    return pl.pallas_call(
         kernel,
         grid=(npix // bm,),
         in_specs=[
             pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, ne * n), lambda i: (0, 0),
+            pl.BlockSpec((rows, ne * nr), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, no * n), lambda i: (0, 0),
+            pl.BlockSpec((rows, no * nr), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ne * n, 1), lambda i: (0, 0),
+            pl.BlockSpec((ne * nr, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((no * n, 1), lambda i: (0, 0),
+            pl.BlockSpec((no * nr, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
@@ -674,12 +682,19 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
         interpret=interpret,
     )(rgb3, lqe, lqo, svr, bdive, bdivo)
 
-    # coarse term
-    cp = prep.coarse
+
+def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
+                   dmin, dmax, interpret: bool):
+    """Launch the coarse-term kernel for coarse prep `cp` (grid cp.size),
+    remapping taps down from n_fine."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npix = rgb3.shape[1]
     m = cp.size
     msq = m * m
     rows_m = cp.rows_pad
-    # capped at the coarse2 padding granularity (apply_lut_planes pads 1024)
+    # capped at the coarse padding granularity (apply_lut_planes pads 1024)
     bmc = min(1024, _block_pixels(m, coarse_mode,
                                   1 if interp in ("nearest", "trilinear")
                                   else 2))
@@ -700,9 +715,9 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
         a_rows = 2 * rows_m
     bdiv = jnp.asarray(
         (np.arange(msq, dtype=np.int32) // m).reshape(msq, 1))
-    kernel = functools.partial(_fused_kernel_coarse, n, m, cp.ones_row,
+    kernel = functools.partial(_fused_kernel_coarse, n_fine, m, cp.ones_row,
                                interp, coarse_mode, dmin, dmax)
-    out_c = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(npix // bmc,),
         in_specs=[
@@ -721,7 +736,34 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
     )(rgb3, la, lb, sv, bdiv)
-    return (out + out_c)[:3]
+
+
+def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
+                       interpret: bool) -> jnp.ndarray:
+    """Fused-taps coarse+residual launch: every kernel takes the raw (3, P)
+    RGB rows and rebuilds coordinates in-kernel — the redundant (1, BM)-row
+    math is far cheaper than the 15-27 rows/pixel of HBM tap traffic it
+    replaces.
+
+    coarse2*: interp(L) = coarse_term(C(N+1)/2) + resid(R_N). An "x" runs
+    the coarse term at exact-bf16; "_tri" substitutes trilinear for the
+    residual's interpolation (per-LUT sim-gated like everything else).
+
+    (A 3-level recursion — C17 + R33 + R65 — was implemented and measured
+    SLOWER on-chip: the extra launch and per-block tap recompute outweigh
+    the cheaper dots; see experiments/FINDINGS.md.)"""
+    dmin = tuple(float(v) for v in prep.domain_min)
+    dmax = tuple(float(v) for v in prep.domain_max)
+    coarse_mode = "exact" if precision.startswith("coarse2x") else "int8_fast"
+    resid_interp = ("trilinear"
+                    if precision.endswith("_tri") and interp != "trilinear"
+                    else interp)
+
+    out = _launch_resid2(rgb3, prep, n, n, resid_interp, dmin, dmax,
+                         interpret)
+    out = out + _launch_coarse(rgb3, prep.coarse, n, interp,
+                               coarse_mode, dmin, dmax, interpret)
+    return out[:3]
 
 
 def apply_lut_planes(
@@ -748,7 +790,7 @@ def apply_lut_planes(
         interp = "tetrahedral"
     precision = prep.resolve_precision(interp, precision)
     if interp == "pyramid" and (precision.startswith("int8")
-                                or precision.startswith("coarse2")):
+                                or precision.startswith("coarse")):
         # negative difference-pass weights underflow the offset-int8 code
         # range; never run pyramid through an int8 tier even when requested
         precision = "exact"
@@ -769,7 +811,7 @@ def apply_lut_planes(
     bf = b.reshape(-1)
     npix = rf.shape[0]
     n_passes = 1 if interp in ("nearest", "trilinear") else 2
-    coarse2 = precision.startswith("coarse2") and prep.coarse is not None
+    coarse2 = precision.startswith("coarse") and prep.coarse is not None
     # coarse2 runs two kernels with different block sizes; pad to the lcm
     bm = 1024 if coarse2 else _block_pixels(n, precision, n_passes)
     pad = (-npix) % bm

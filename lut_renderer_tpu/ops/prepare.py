@@ -87,7 +87,7 @@ class PreparedLut:
         key = (interp, mode)
         if key not in self._mode_errors:
             if interp == "pyramid" and (mode.startswith("int8")
-                                        or mode.startswith("coarse2")):
+                                        or mode.startswith("coarse")):
                 # pyramid's difference pass carries NEGATIVE weights (-dX);
                 # offset-int8 codes round(w*254)-127 underflow int8 for
                 # w < 0, so the int8 tiers are structurally invalid there
@@ -216,7 +216,10 @@ def _int8_single(lmat: np.ndarray):
     return q, sf, bias
 
 
-def prepare_lut(lut: Lut3D) -> PreparedLut:
+def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
+    """Prebake every kernel representation. force_coarse builds the coarse+
+    residual decomposition below the usual N >= 49 threshold (used for the
+    NESTED level of the 3-term 65 -> 33 -> 17 recursion)."""
     import ml_dtypes
 
     table = np.asarray(lut.table, dtype=np.float32)
@@ -237,7 +240,7 @@ def prepare_lut(lut: Lut3D) -> PreparedLut:
     q1, q2, s1, s2, bias = _int8_pair(lmat, rows)
 
     coarse = resid_q = resid_scale = resid_bias = None
-    if n >= 49 and n % 2 == 1:
+    if (n >= 49 or force_coarse) and n % 2 == 1 and n >= 9:
         c_table = np.ascontiguousarray(table[::2, ::2, ::2])
         resid = table - _upsample2_linear(c_table)
         coarse = prepare_lut(

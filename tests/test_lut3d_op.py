@@ -209,7 +209,7 @@ def test_coarse2_decomposition_matches_reference():
     r, g, b = _rand_rgb_planes(rng, 8, 128)
     for interp in ("tetrahedral", "trilinear"):
         mode = prep.resolve_precision(interp)
-        assert mode.startswith("coarse2"), mode  # smooth LUT rides coarse2
+        assert mode.startswith("coarse"), mode  # smooth LUT rides coarse2/3
         ro, go, bo = apply_lut_planes(r, g, b, prep, interp,
                                       precision="auto", interpret=True)
         rr, gr, br = _reference(r, g, b, lut, interp)
