@@ -331,3 +331,26 @@ def test_auto_gate_accepts_production_style_luts():
     fast_tiers = {m for m in resolved.values() if m != "exact"}
     assert len(fast_tiers) >= 1 and sum(
         1 for m in resolved.values() if m != "exact") >= 4, resolved
+
+
+def test_coarse2_with_nonunit_domain(rng):
+    """A 65-cube LUT with DOMAIN_MAX != 1 through the coarse decomposition:
+    domain mapping happens before lattice math, so the remap stays exact."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+    from lut_renderer_tpu.colorcore.interp import _FUNCS
+
+    lut = _film_lut(65)
+    lut.domain_min = np.array([0.0, 0.0, 0.0], np.float32)
+    lut.domain_max = np.array([0.5, 0.5, 0.5], np.float32)
+    prep = prepare_lut(lut)
+    mode = prep.resolve_precision("tetrahedral")
+    r, g, b = _rand_rgb_planes(rng, 4, 256)
+    r, g, b = r * 0.5, g * 0.5, b * 0.5  # inside the domain
+    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
+                                  precision="auto", interpret=True)
+    rgb = np.stack([r, g, b], -1)
+    want = _FUNCS["tetrahedral"](rgb, lut.table, lut.domain_min,
+                                 lut.domain_max, xp=np)
+    got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    err = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
+    assert err < 0.5, (mode, err)
