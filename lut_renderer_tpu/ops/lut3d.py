@@ -203,7 +203,7 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # ---------------------------------------------------------------------------
 
 def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
-                       dmin, dmax, rgb_ref, lq_ref, s_ref, bdiv_ref,
+                       widths, dmin, dmax, rgb_ref, lq_ref, s_ref,
                        out_ref):
     """Fused-taps int8 kernel: raw RGB f32 rows in, coordinates and per-pass
     tap weights computed IN-kernel (the math is shape-agnostic, running on
@@ -218,94 +218,147 @@ def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     # each pass stacks (1, BM) rows -> (6, 1, BM); flatten the unit axis
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _int8_body(n, ones_row, len(passes), wpair, idx, wall, lq_ref, s_ref,
-               bdiv_ref, out_ref)
+    _int8_quad_body(n, ones_row, len(passes), wpair, widths, idx, wall,
+                    lq_ref, s_ref, out_ref)
 
 
-def _int8_body(n, ones_row, n_passes, wpair, idx, wall, lq_ref, s_ref,
-               bdiv_ref, out_ref):
-    """Shared int8 contraction body: stacked [q1; q2] int8 LUT pair with
-    per-row f32 dequant scales; the weight tile is OFFSET int8,
-    round(w * 254) - 127 (the offset's contribution is the precomputed
-    per-row bias — 2x weight resolution free on a dense MXU). int8 runs the
-    MXU at 2x bf16 (361-373 vs 165-188 TOPS measured, v5e).
+def _parity_split(p, n):
+    """Per-pixel parity decomposition of a 2-tap axis at prev index p: the
+    taps (p, p+1) hit exactly one even and one odd grid line (except the
+    clamped edge p == n-1, n odd, where both fold onto the last even line).
+    Returns (parity, clamp, even_line_index, odd_line_index)."""
+    par = p % 2
+    clamp = p == (n - 1)
+    return par, clamp, (p + par) // 2, p // 2
+
+
+def _parity_weights(par, clamp, wp, wn):
+    """Tap weights landing on the even / odd line of _parity_split."""
+    even = par == 0
+    we = jnp.where(even, wp + jnp.where(clamp, wn, 0.0), wn)
+    wo = jnp.where(even, jnp.where(clamp, 0.0, wn), wp)
+    return we, wo
+
+
+def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
+                    lq_ref, s_ref, out_ref):
+    """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
+    in prepare.quad_permute column layout — the K axis split into four
+    (b even/odd x g even/odd) blocks, so within each block every pixel is
+    ONE-tap in both g and b. The weight tile per quadrant collapses to a
+    single select of a per-pixel scalar row (offset int8, round(w*254)-127;
+    inactive columns code -127 = "zero", their contribution is the
+    precomputed per-row bias) against a one-hot mask hoisted across passes
+    (targets depend only on the cell indices). ~2 full-size VPU ops/pass vs
+    ~7 for the repeat-based build (48.9 -> 44.8 ms/4K tetra measured, bit-
+    identical results: same W entries, exact int32 accumulation). int8 runs
+    the MXU at 2x bf16 (361-373 vs 165-188 TOPS measured, v5e).
+
+    The table planes hold the identity-DETRENDED LUT (prepare._identity_lmat)
+    so the weight LSB only rotates against the detrended cell spread; the
+    identity part of each pass is separable in the compact tap weights —
+    ident_c = S1_c * prod(S0_other) with S0 = wp + wn, S1 = (wp*p + wn*nx)
+    / (n-1) — and is added EXACTLY from (1, BM) f32 scalars, outside the
+    sum-correction (which only repairs the quantized-table term).
 
     wpair=False ("int8_fast"): ONE int8 dot per pass; the weight LSB (1/254)
     rotated against cell-local LUT spread dominates the error — gated per
     LUT by prepare.simulate_mode_error. wpair=True ("int8"): the weight tile
-    also splits into int8 hi/lo halves (1.5 dots/pass, weight error 1.5e-5).
-    A SINGLE-plane table (rows = rows_pad) is detected from the s_ref/lq_ref
-    row ratio and runs the cheap truncate-at-127 path (residual numerics).
-    bdiv_ref maps row -> b-plane (t // n): one equality compare per band."""
-    from jax.experimental.pallas import tpu as pltpu
-
+    also splits into int8 hi/lo halves (1.5 dots/pass, weight error 1.5e-5);
+    the lo rows are per-pixel scalars too, so the extra build is one more
+    select per quadrant."""
     bm = idx.shape[1]
     rows_l = lq_ref.shape[0]
-    planes = 2 if s_ref.shape[0] == 3 * (rows_l // 2) else 1
-    half = rows_l // planes
+    half = rows_l // 2
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-    bdiv = bdiv_ref[:]                  # (N^2, 1) int32: row -> b plane
+    ne = (n + 1) // 2
+    no = n // 2
 
-    pk = idx[2:3, :]
-    nk = jnp.minimum(pk + 1, n - 1)
-    in_p = bdiv == pk                   # (N^2, BM) one compare per band
-    in_n = bdiv == nk
+    parb, clampb, be, bo = _parity_split(idx[2:3, :], n)
+    parg, clampg, ge, go = _parity_split(idx[1:2, :], n)
+    # quadrant order matches prepare.quad_permute: (b,g) = ee, eo, oe, oo;
+    # columns b-major/g-minor, per-quadrant zero padding at the block end
+    bsel = (be, be, bo, bo)
+    gsel = (ge, go, ge, go)
+    gwidth = (ne, no, ne, no)
+    offs = []
+    o = 0
+    for w in widths:
+        offs.append(o)
+        o += w
+    masks = [
+        jax.lax.broadcasted_iota(jnp.int32, (widths[q], bm), 0)
+        == (bsel[q] * gwidth[q] + gsel[q])
+        for q in range(4)
+    ]
 
     s1 = s_ref[:half, :]                # (half, 1) f32 (weight norm folded)
-    if planes == 2:
-        s2 = s_ref[half:half * 2, :]
-        bias = s_ref[half * 2:, :]      # (half, 1) f32 offset-weight bias
-    else:
-        bias = s_ref[half:, :]
-    lq = lq_ref[:]
+    s2 = s_ref[half:half * 2, :]
+    bias = s_ref[half * 2:, :]          # (half, 1) f32 offset-weight bias
 
     acc = [None, None, None]
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
 
-        def tap(axis, scale=1.0):
+        def tap(axis):
             p = idx[axis:axis + 1, :]
             nx = jnp.minimum(p + 1, n - 1)
-            wp = wts[2 * axis:2 * axis + 1, :] * scale
-            wn = wts[2 * axis + 1:2 * axis + 2, :] * scale
+            wp = wts[2 * axis:2 * axis + 1, :]
+            wn = wts[2 * axis + 1:2 * axis + 2, :]
             return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
 
         rv = tap(0)                     # f32 r-axis taps (VPU side)
-        wscale = 254.0 if planes == 2 else 127.0
-        a = pltpu.repeat(tap(1, wscale), n, axis=0)     # (N^2, BM) f32
-        # two selects + add (not nested) so the clamped edge pk == nk sums
-        # both taps like the reference
-        b32 = (jnp.where(in_p, wts[4:5, :], 0.0)
-               + jnp.where(in_n, wts[5:6, :], 0.0))
-        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :])
+        wgp, wgn = wts[2:3, :], wts[3:4, :]
+        wbp, wbn = wts[4:5, :], wts[5:6, :]
+        web, wob = _parity_weights(parb, clampb, wbp, wbn)
+        weg, wog = _parity_weights(parg, clampg, wgp, wgn)
+        scal = (web * weg, web * wog, wob * weg, wob * wog)
+        true_sum = (wgp + wgn) * (wbp + wbn)
 
-        if planes == 2:
-            # offset int8: round(x) - 127 == round(x - 127) (integer shift);
-            # folding avoids one full-size temp (VMEM spills cost ~20 ms/pass
-            # at BM=1024, measured)
-            w1r = jnp.round(a * b32 - 127.0)
-            w8 = w1r.astype(jnp.int8)
-        else:
-            # residual: truncation bias (<= 1/127) is cancelled by the sum
-            # correction; saves the round
-            w8 = (a * b32).astype(jnp.int8)
-
-        seg = jnp.dot(lq, w8, preferred_element_type=jnp.int32).astype(
-            jnp.float32)
-        if planes == 2:
-            t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
-        else:
-            t = seg * s1 + bias
+        seg32 = None
+        rows1 = []                      # per-quadrant rounded hi rows (wpair)
+        for q in range(4):
+            w1row = jnp.round(scal[q] * 254.0 - 127.0)      # (1, BM)
+            rows1.append(w1row)
+            w8 = jnp.where(masks[q], w1row, -127.0).astype(jnp.int8)
+            d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], w8,
+                        preferred_element_type=jnp.int32)
+            seg32 = d if seg32 is None else seg32 + d
+        seg = seg32.astype(jnp.float32)
+        t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
         if wpair:
-            w2 = jnp.round((a * b32 - 127.0 - w1r) * 254.0).astype(jnp.int8)
-            seg2 = jnp.dot(lq[:half, :], w2,
-                           preferred_element_type=jnp.int32).astype(jnp.float32)
-            t = t + seg2 * (s1 * (1.0 / 254.0))
+            seg2 = None
+            for q in range(4):
+                w2row = jnp.round(
+                    (scal[q] * 254.0 - 127.0 - rows1[q]) * 254.0)
+                w2 = jnp.where(masks[q], w2row, 0.0).astype(jnp.int8)
+                d = jnp.dot(lq_ref[:half, offs[q]:offs[q] + widths[q]], w2,
+                            preferred_element_type=jnp.int32)
+                seg2 = d if seg2 is None else seg2 + d
+            t = t + seg2.astype(jnp.float32) * (s1 * (1.0 / 254.0))
         meas = t[ones_row:ones_row + 1, :]
         scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
+
+        # analytic identity term (exact f32 weights, uncorrected)
+        inv = 1.0 / (n - 1)
+
+        def s01(axis):
+            p = idx[axis:axis + 1, :]
+            nx = jnp.minimum(p + 1, n - 1)
+            wp = wts[2 * axis:2 * axis + 1, :]
+            wn = wts[2 * axis + 1:2 * axis + 2, :]
+            return (wp + wn,
+                    (wp * p.astype(jnp.float32)
+                     + wn * nx.astype(jnp.float32)) * inv)
+
+        sr0, sr1 = s01(0)
+        sg0, sg1 = s01(1)
+        sb0, sb1 = s01(2)
+        ident = (sr1 * sg0 * sb0, sr0 * sg1 * sb0, sr0 * sg0 * sb1)
         for c in range(3):
             segc = t[c * n:(c + 1) * n, :]
-            contrib = jnp.sum(segc * rv, axis=0) * scale[0, :]
+            contrib = (jnp.sum(segc * rv, axis=0) * scale[0, :]
+                       + ident[c][0, :])
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     for c in range(3):
         out_ref[c, :] = acc[c]
@@ -370,21 +423,23 @@ def _fused_kernel_resid2(n_fine: int, n_resid: int, ones_row: int,
 
 
 def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
-                         coarse_mode: str, dmin, dmax,
-                         rgb_ref, la_ref, lb_ref, s_ref, bdiv_ref, out_ref):
+                         coarse_mode: str, widths, dmin, dmax,
+                         rgb_ref, la_ref, lb_ref, s_ref, out_ref):
     """Fused coarse term of the coarse decomposition: FINE coordinates and
     pass weights computed in-kernel at grid n, then remapped per axis down
     to grid m — one halving per level, so m = 33 is the coarse2 term and
     m = 17 the doubly-remapped term of the 3-level recursion — and
-    contracted against the coarse table at `coarse_mode` numerics."""
+    contracted against the coarse table at `coarse_mode` numerics:
+    "int8_fast" (quadrant offset-int8), "fast" (bf16 hi-only, half the
+    exact dot) or exact bf16 hi/lo."""
     rgb = rgb_ref[:]
     idxc, wallc, n_passes = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
-        _int8_body(m, ones_row, n_passes, False, idxc, wallc,
-                   la_ref, s_ref, bdiv_ref, out_ref)
+        _int8_quad_body(m, ones_row, n_passes, False, widths, idxc, wallc,
+                        la_ref, s_ref, out_ref)
     else:
-        _bf16_body(m, ones_row, n_passes, True, m <= 33, idxc, wallc,
-                   la_ref, lb_ref, out_ref)
+        _bf16_body(m, ones_row, n_passes, coarse_mode == "exact", m <= 33,
+                   idxc, wallc, la_ref, lb_ref, out_ref)
 
 
 def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
@@ -568,35 +623,31 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     dmax = tuple(float(v) for v in prep.domain_max)
 
     if mode in ("int8", "int8_fast"):
-        lq = jnp.asarray(
-            np.concatenate([prep.lmat_q1, prep.lmat_q2], axis=0), jnp.int8
-        )
+        lq = jnp.asarray(prep.lmat_qp, jnp.int8)
+        ktot = lq.shape[1]
         sv = jnp.asarray(
             np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
                            axis=0), jnp.float32
         )
-        bdiv = jnp.asarray(
-            (np.arange(nsq, dtype=np.int32) // n).reshape(nsq, 1))
         kernel = functools.partial(_fused_kernel_int8, n, prep.ones_row,
-                                   interp, mode == "int8", dmin, dmax)
+                                   interp, mode == "int8", prep.quad_widths,
+                                   dmin, dmax)
         out = pl.pallas_call(
             kernel,
             grid=(npix // bm,),
             in_specs=[
                 pl.BlockSpec((3, bm), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * rows_pad, nsq), lambda i: (0, 0),
+                pl.BlockSpec((2 * rows_pad, ktot), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * rows_pad, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nsq, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
             interpret=interpret,
-        )(rgb3, lq, sv, bdiv)
+        )(rgb3, lq, sv)
         return out[:3]
 
     exact = mode != "fast"
@@ -700,42 +751,46 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
                                   else 2))
     assert npix % bmc == 0
     if coarse_mode == "int8_fast":
-        la = jnp.asarray(
-            np.concatenate([cp.lmat_q1, cp.lmat_q2], axis=0), jnp.int8)
+        la = jnp.asarray(cp.lmat_qp, jnp.int8)
+        ka = la.shape[1]
         lb = jnp.zeros((8, msq), jnp.bfloat16)   # unused placeholder
         sv = jnp.asarray(
             np.concatenate([cp.scale_q1, cp.scale_q2, cp.bias_q], axis=0),
             jnp.float32)
         a_rows = 2 * rows_m
+    elif coarse_mode == "fast":
+        la = jnp.asarray(cp.lmat_hi, jnp.bfloat16)   # hi only: half the dot
+        ka = msq
+        lb = jnp.zeros((8, msq), jnp.bfloat16)
+        sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
+        a_rows = rows_m
     else:
         la = jnp.asarray(
             np.concatenate([cp.lmat_hi, cp.lmat_lo], axis=0), jnp.bfloat16)
+        ka = msq
         lb = jnp.zeros((8, msq), jnp.bfloat16)
         sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
         a_rows = 2 * rows_m
-    bdiv = jnp.asarray(
-        (np.arange(msq, dtype=np.int32) // m).reshape(msq, 1))
     kernel = functools.partial(_fused_kernel_coarse, n_fine, m, cp.ones_row,
-                               interp, coarse_mode, dmin, dmax)
+                               interp, coarse_mode, cp.quad_widths,
+                               dmin, dmax)
     return pl.pallas_call(
         kernel,
         grid=(npix // bmc,),
         in_specs=[
             pl.BlockSpec((3, bmc), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_rows, msq), lambda i: (0, 0),
+            pl.BlockSpec((a_rows, ka), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lb.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sv.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((msq, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bmc), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(rgb3, la, lb, sv, bdiv)
+    )(rgb3, la, lb, sv)
 
 
 def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
@@ -745,8 +800,9 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     math is far cheaper than the 15-27 rows/pixel of HBM tap traffic it
     replaces.
 
-    coarse2*: interp(L) = coarse_term(C(N+1)/2) + resid(R_N). An "x" runs
-    the coarse term at exact-bf16; "_tri" substitutes trilinear for the
+    coarse2*: interp(L) = coarse_term(C(N+1)/2) + resid(R_N). The coarse
+    term's numerics: plain = offset-int8, "f" = bf16-hi-only (half the
+    exact dot), "x" = exact bf16 pair; "_tri" substitutes trilinear for the
     residual's interpolation (per-LUT sim-gated like everything else).
 
     (A 3-level recursion — C17 + R33 + R65 — was implemented and measured
@@ -754,7 +810,9 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     the cheaper dots; see experiments/FINDINGS.md.)"""
     dmin = tuple(float(v) for v in prep.domain_min)
     dmax = tuple(float(v) for v in prep.domain_max)
-    coarse_mode = "exact" if precision.startswith("coarse2x") else "int8_fast"
+    coarse_mode = ("exact" if precision.startswith("coarse2x")
+                   else "fast" if precision.startswith("coarse2f")
+                   else "int8_fast")
     resid_interp = ("trilinear"
                     if precision.endswith("_tri") and interp != "trilinear"
                     else interp)

@@ -53,6 +53,14 @@ class PreparedLut:
     lmat_lo: np.ndarray     # bf16 residual: lmat - f32(lmat_hi)
     lmat_q1: np.ndarray     # int8 first plane (per-row scale s1)
     lmat_q2: np.ndarray     # int8 residual plane (per-row scale s2)
+    # Parity-quadrant layout of the stacked [q1; q2] pair: K columns permuted
+    # into (b even/odd) x (g even/odd) blocks, each zero-padded to 32 columns.
+    # Within a quadrant every pixel is ONE-tap in both g and b, so the
+    # kernel's weight tile collapses to one select of a per-pixel scalar row
+    # against a hoisted one-hot mask (lut3d._int8_quad_body). Same entries,
+    # int32 accumulation -> bit-identical results to the unpermuted layout.
+    lmat_qp: np.ndarray     # (2*rows_pad, K') int8, K' = sum(quad_widths)
+    quad_widths: Tuple[int, int, int, int]  # (ee, eo, oe, oo) padded widths
     scale_q1: np.ndarray    # (rows_pad, 1) f32, includes the 1/254 weight norm
     scale_q2: np.ndarray    # (rows_pad, 1) f32
     bias_q: np.ndarray      # (rows_pad, 1) f32 offset-weight bias (127*rowsum)
@@ -99,6 +107,7 @@ class PreparedLut:
                 resid_interp = ("trilinear" if mode.endswith("_tri")
                                 else interp)
                 coarse_mode = ("exact" if mode.startswith("coarse2x")
+                               else "fast" if mode.startswith("coarse2f")
                                else "int8_fast")
                 self._mode_errors[key] = simulate_coarse_error(
                     self, interp, resid_interp, coarse_mode, probes=probes
@@ -113,26 +122,35 @@ class PreparedLut:
                           budget: float = DE76_BUDGET) -> str:
         """Map a requested precision to a concrete kernel mode.
 
-        "auto" walks the tiers in measured-cost order (4K ms on v5e, N=33:
-        int8_fast 50 < fast 54 < exact 65 < int8 105; N=65 tetra:
-        coarse2_tri ~125 < coarse2 ~200 < int8_fast 240 < exact 437) and
-        picks the first whose simulated per-LUT error clears the budget."""
+        "auto" walks the tiers in measured-cost order (4K ms on v5e, N=33
+        tetra with the quadrant build: int8_fast 46 < fast 54 < exact 59 <
+        int8 81, so at N<=33 the int8 weight-pair tier is strictly worse
+        than exact and drops out of the ladder; N=65 tetra: coarse2_tri
+        ~125 < coarse2x_tri ~145 < coarse2 ~200 < int8_fast 220 < int8 362 <
+        exact 437) and picks the first whose simulated per-LUT error clears
+        the budget."""
         if requested != "auto":
             return requested
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
-        ladder = ["int8_fast", "fast", "int8"]
+        ladder = (["int8_fast", "fast"] if self.size <= 33
+                  else ["int8_fast", "fast", "int8"])
         if self.coarse is not None:
-            # measured 4K costs at N=65 (ms): coarse2_tri 125 < coarse2x_tri
-            # 140 < coarse2 200 < coarse2x 215 < int8_fast 240 < fast < exact
-            # 437; "x" variants run the coarse term at exact-bf16 (the
-            # residual terms are near-exact by construction)
+            # measured 4K costs at N=65 (ms): coarse2_tri ~120 < coarse2f_tri
+            # ~125 < coarse2x_tri 140 < coarse2 ~190 < coarse2f ~200 <
+            # coarse2x 215 < int8_fast 240 < fast < exact 437. Coarse-term
+            # numerics: "" = offset-int8 (fails for LUTs whose coarse cells
+            # spread past the weight LSB), "f" = bf16-hi-only (half the
+            # exact dot; table error 2^-9-relative), "x" = exact bf16 pair.
+            # The residual terms are near-exact by construction.
             if interp == "trilinear":
-                ladder = ["coarse2", "coarse2x", "int8_fast", "fast", "int8"]
+                ladder = ["coarse2", "coarse2f", "coarse2x", "int8_fast",
+                          "fast", "int8"]
             elif interp == "tetrahedral":
-                ladder = ["coarse2_tri", "coarse2x_tri", "coarse2",
-                          "coarse2x", "int8_fast", "fast", "int8"]
+                ladder = ["coarse2_tri", "coarse2f_tri", "coarse2x_tri",
+                          "coarse2", "coarse2f", "coarse2x", "int8_fast",
+                          "fast", "int8"]
         choice = "exact"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
@@ -140,6 +158,27 @@ class PreparedLut:
                 break
         self._auto_cache[interp] = choice
         return choice
+
+
+def _identity_lmat(n: int, rows_pad: int) -> np.ndarray:
+    """The identity table in lmat layout (imat[c*N + r, k*N + j] = grid
+    coordinate of channel c at (r, j, k), unit grid). The int8 planes store
+    the DETRENDED matrix lmat - imat: interpolation is linear in the table,
+    and the identity part is evaluated analytically in-kernel from the exact
+    f32 tap weights (lut3d._int8_quad_body), so the weight-LSB error only
+    multiplies the detrended table's cell-local spread — ~40% lower dE76 on
+    grading-style LUTs (measured; pathological anti-identity LUTs get
+    strictly worse and the per-LUT gate rejects them). The ones row is not
+    detrended (imat row 3N = 0)."""
+    ramp = (np.arange(n, dtype=np.float32) / (n - 1)).astype(np.float32)
+    imat = np.zeros((rows_pad, n * n), dtype=np.float32)
+    # c = 0: value r/(n-1), constant per row
+    imat[0:n] = ramp[:, None]
+    # c = 1: value j/(n-1); columns are k*N + j
+    imat[n:2 * n] = np.tile(ramp, n)[None, :]
+    # c = 2: value k/(n-1)
+    imat[2 * n:3 * n] = np.repeat(ramp, n)[None, :]
+    return imat
 
 
 def _int8_pair(lmat: np.ndarray, ones_row: int):
@@ -167,6 +206,29 @@ def _int8_pair(lmat: np.ndarray, ones_row: int):
     rs2 = q2.astype(np.float64).sum(axis=1, keepdims=True)
     bias = (127.0 * (s1f * rs1 + s2f * rs2)).astype(np.float32)
     return q1, q2, s1f, s2f, bias
+
+
+def quad_permute(mat: np.ndarray, n: int):
+    """Permute (rows, N*N) columns (K index = k*N + j, k = b-plane, j = g)
+    into four parity quadrants (b even/odd x g even/odd), b-major/g-minor
+    within each, zero-padded per quadrant to a multiple of 32 columns (int8
+    sublane-tile granularity, so the kernel's per-quadrant tiles concat/dot
+    cleanly). Returns (permuted, widths)."""
+    rows = mat.shape[0]
+    blocks = []
+    widths = []
+    for bs in (0, 1):
+        for gs in (0, 1):
+            ks = np.arange(bs, n, 2)
+            js = np.arange(gs, n, 2)
+            kk, jj = np.meshgrid(ks, js, indexing="ij")
+            idx = (kk * n + jj).reshape(-1)
+            w = _round_up(len(idx), 32)
+            block = np.zeros((rows, w), mat.dtype)
+            block[:, : len(idx)] = mat[:, idx]
+            blocks.append(block)
+            widths.append(w)
+    return np.concatenate(blocks, axis=1), tuple(widths)
 
 
 def _upsample2_linear(c: np.ndarray) -> np.ndarray:
@@ -237,7 +299,11 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
     lmat[rows] = 1.0
     hi = lmat.astype(ml_dtypes.bfloat16)
     lo = (lmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    q1, q2, s1, s2, bias = _int8_pair(lmat, rows)
+    # int8 planes quantize the identity-DETRENDED matrix (see _identity_lmat)
+    q1, q2, s1, s2, bias = _int8_pair(lmat - _identity_lmat(n, rows_pad),
+                                      rows)
+    qp, quad_widths = quad_permute(
+        np.concatenate([q1, q2], axis=0).astype(np.int8), n)
 
     coarse = resid_q = resid_scale = resid_bias = None
     if (n >= 49 or force_coarse) and n % 2 == 1 and n >= 9:
@@ -258,6 +324,8 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         lmat_lo=lo,
         lmat_q1=q1,
         lmat_q2=q2,
+        lmat_qp=qp,
+        quad_widths=quad_widths,
         scale_q1=s1,
         scale_q2=s2,
         bias_q=bias,
@@ -404,6 +472,9 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
         rows = 3 * n
         s1 = prep.scale_q1[:rows] * 254.0   # (rows, 1), undo the /254 fold
         s2 = prep.scale_q2[:rows] * 254.0
+        # the int8 planes hold the identity-DETRENDED table; the kernel adds
+        # the identity term from exact f32 weights, outside the correction —
+        # modelled below by interpolating the identity cells uncorrected
         qt_flat = (prep.lmat_q1[:rows].astype(np.float32) * s1
                    + prep.lmat_q2[:rows].astype(np.float32) * s2)
         qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
@@ -450,10 +521,19 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
 
     ref = interp_with(cell, lambda w: w, correct=False)
     got = interp_with(qcell, w_quant, correct=True)
+    if mode in ("int8", "int8_fast"):
+        got += interp_with(corners(_identity_table(n)), lambda w: w,
+                           correct=False)
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),
         np.clip(got, 0, 1).astype(np.float32),
     ))
+
+
+def _identity_table(n: int) -> np.ndarray:
+    ramp = (np.arange(n, dtype=np.float32) / (n - 1)).astype(np.float32)
+    r, g, b = np.meshgrid(ramp, ramp, ramp, indexing="ij")
+    return np.stack([r, g, b], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -493,11 +573,25 @@ def _gather_cells(table: np.ndarray, p: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool):
+def _bf16_factor_quant(taps):
+    """The bf16 kernel's weight-tile numerics: g taps cast bf16, multiplied
+    by the f32 b-factor, product cast bf16 (lut3d._bf16_body)."""
+    import ml_dtypes
+
+    gq = taps[:, 1, :].astype(ml_dtypes.bfloat16).astype(np.float32)
+    return (gq[:, :, None] * taps[:, 2, None, :]).astype(
+        ml_dtypes.bfloat16).astype(np.float32)
+
+
+def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool,
+                factor_quant=None):
     acc = np.zeros((cells.shape[0], 3), np.float64)
     for taps in passes:  # (P, 3, 2)
-        gb = taps[:, 1, :, None] * taps[:, 2, None, :]
-        gbq = w_quant(gb) if w_quant else gb
+        if factor_quant is not None:
+            gbq = factor_quant(taps)
+        else:
+            gb = taps[:, 1, :, None] * taps[:, 2, None, :]
+            gbq = w_quant(gb) if w_quant else gb
         if correct:
             true_sum = taps[:, 1].sum(1) * taps[:, 2].sum(1)
             meas = gbq.sum((1, 2))
@@ -539,6 +633,7 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
     rows_c = 3 * m
+    factor_qc = None
     if coarse_mode == "exact":
         # bf16 hi/lo pair reconstructs the table to ~2^-17 and the exact
         # tier's corrected-bf16 weight error lands around 1e-2 dE76 — model
@@ -547,6 +642,12 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         c_quant = (cp.lmat_hi[:rows_c].astype(np.float32)
                    + cp.lmat_lo[:rows_c].astype(np.float32))
         w_qc = None
+    elif coarse_mode == "fast":
+        # bf16-hi-only table (2^-9-relative) with the kernel's factor-wise
+        # bf16 weight tile and the sum correction
+        c_quant = cp.lmat_hi[:rows_c].astype(np.float32)
+        w_qc = None
+        factor_qc = _bf16_factor_quant
     else:
         sc1 = cp.scale_q1[:rows_c] * 254.0
         sc2 = cp.scale_q2[:rows_c] * 254.0
@@ -565,7 +666,13 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
             )
         coarse_passes.append(ct)
     got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes,
-                      w_qc, correct=w_qc is not None)
+                      w_qc, correct=(w_qc is not None
+                                     or factor_qc is not None),
+                      factor_quant=factor_qc)
+    if coarse_mode == "int8_fast":
+        # detrended int8 planes: identity term added from exact weights
+        got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
+                           coarse_passes, None, correct=False)
 
     # term 2: residual at fine resolution, single-plane int8 with truncated
     # 127-scale weights (the kernel's cheap build path)
