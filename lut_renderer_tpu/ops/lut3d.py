@@ -218,8 +218,8 @@ def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     # each pass stacks (1, BM) rows -> (6, 1, BM); flatten the unit axis
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _int8_quad_body(n, ones_row, len(passes), wpair, widths, idx, wall,
-                    lq_ref, s_ref, out_ref)
+    _write_out(out_ref, _int8_quad_body(n, ones_row, len(passes), wpair,
+                                        widths, idx, wall, lq_ref, s_ref))
 
 
 def _parity_split(p, n):
@@ -240,8 +240,13 @@ def _parity_weights(par, clamp, wp, wn):
     return we, wo
 
 
+def _write_out(out_ref, acc):
+    for c in range(3):
+        out_ref[c, :] = acc[c]
+
+
 def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
-                    lq_ref, s_ref, out_ref):
+                    lq_ref, s_ref, acc=None):
     """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
     in prepare.quad_permute column layout — the K axis split into four
     (b even/odd x g even/odd) blocks, so within each block every pixel is
@@ -296,7 +301,8 @@ def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
     s2 = s_ref[half:half * 2, :]
     bias = s_ref[half * 2:, :]          # (half, 1) f32 offset-weight bias
 
-    acc = [None, None, None]
+    if acc is None:
+        acc = [None, None, None]
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
 
@@ -360,8 +366,7 @@ def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
             contrib = (jnp.sum(segc * rv, axis=0) * scale[0, :]
                        + ident[c][0, :])
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
-    for c in range(3):
-        out_ref[c, :] = acc[c]
+    return acc
 
 
 def _remap_axis_jnp(p, wp, wn):
@@ -409,17 +414,16 @@ def _fine_taps_remapped(rgb, n_fine: int, n_out: int, interp: str,
 
 
 def _fused_kernel_resid2(n_fine: int, n_resid: int, ones_row: int,
-                         interp: str, dmin, dmax,
-                         rgb_ref, lqe_ref, lqo_ref, s_ref,
-                         bdive_ref, bdivo_ref, out_ref):
-    """Fused-taps b-parity residual kernel (see _fused_kernel_int8).
+                         interp: str, widths, dmin, dmax,
+                         rgb_ref, lq_ref, s_ref, out_ref):
+    """Fused-taps parity-quadrant residual kernel (see _fused_kernel_int8).
     n_resid < n_fine evaluates a NESTED residual (e.g. R33 inside the
     65 -> 33 -> 17 recursion): fine taps are remapped down exactly."""
     rgb = rgb_ref[:]
     idx, wall, n_passes = _fine_taps_remapped(rgb, n_fine, n_resid, interp,
                                               dmin, dmax)
-    _resid2_body(n_resid, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref,
-                 s_ref, bdive_ref, bdivo_ref, out_ref)
+    _write_out(out_ref, _resid_quad_body(n_resid, ones_row, n_passes,
+                                         widths, idx, wall, lq_ref, s_ref))
 
 
 def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
@@ -435,77 +439,82 @@ def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
     rgb = rgb_ref[:]
     idxc, wallc, n_passes = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
-        _int8_quad_body(m, ones_row, n_passes, False, widths, idxc, wallc,
-                        la_ref, s_ref, out_ref)
+        _write_out(out_ref, _int8_quad_body(m, ones_row, n_passes, False,
+                                            widths, idxc, wallc, la_ref,
+                                            s_ref))
     else:
-        _bf16_body(m, ones_row, n_passes, coarse_mode == "exact", m <= 33,
-                   idxc, wallc, la_ref, lb_ref, out_ref)
+        _write_out(out_ref, _bf16_body(m, ones_row, n_passes,
+                                       coarse_mode == "exact", m <= 33,
+                                       idxc, wallc, la_ref, lb_ref))
 
 
-def _resid2_body(n, ones_row, n_passes, idx, wall, lqe_ref, lqo_ref, s_ref,
-                 bdive_ref, bdivo_ref, out_ref):
-    """b-parity-split residual body: even/odd b-planes are separate int8
-    matrices; per pixel the b 2-tap hits exactly one of each, so each
-    sub-tile is ONE-tap in b (compare+select+mul+convert build) and the two
-    int8 dots sum in int32 before a single dequant (shared row scales).
-    Entries equal the single-plane residual's trunc(g*127*wb), so prepare's
-    simulator gates both identically."""
-    from jax.experimental.pallas import tpu as pltpu
-
+def _resid_quad_body(n, ones_row, n_passes, widths, idx, wall, lq_ref,
+                     s_ref, acc=None):
+    """Parity-quadrant residual body: the single-plane int8 residual matrix
+    in prepare.quad_permute layout. Within a quadrant every pixel is
+    one-tap in both g and b, so each tile is one select of a per-pixel
+    scalar row (trunc at 127 scale via the int8 convert — the truncation
+    bias is cancelled by the sum correction, and entries equal the
+    b-parity build's trunc(g*127*wb), so prepare's simulator gates both
+    identically); the four dots sum in int32 before a single dequant."""
     bm = idx.shape[1]
-    half = lqe_ref.shape[0]
-    ne = (n + 1) // 2
+    half = lq_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-    bdive = bdive_ref[:]                # (ne*N, 1): row -> even plane idx
-    bdivo = bdivo_ref[:]                # ((n//2)*N, 1)
+    ne = (n + 1) // 2
+    no = n // 2
 
-    pb = idx[2:3, :]
-    parity = pb % 2
-    even = parity == 0
-    clamp = pb == (n - 1)               # n odd: only an even pb can clamp
-    pe = (pb + parity) // 2             # containing/adjacent even plane
-    po = pb // 2                        # adjacent odd plane (w=0 if clamped)
+    parb, clampb, be, bo = _parity_split(idx[2:3, :], n)
+    parg, clampg, ge, go = _parity_split(idx[1:2, :], n)
+    bsel = (be, be, bo, bo)
+    gsel = (ge, go, ge, go)
+    gwidth = (ne, no, ne, no)
+    offs = []
+    o = 0
+    for w in widths:
+        offs.append(o)
+        o += w
+    masks = [
+        jax.lax.broadcasted_iota(jnp.int32, (widths[q], bm), 0)
+        == (bsel[q] * gwidth[q] + gsel[q])
+        for q in range(4)
+    ]
 
     s1 = s_ref[:half, :]
-    lqe = lqe_ref[:]
-    lqo = lqo_ref[:]
 
-    acc = [None, None, None]
+    if acc is None:
+        acc = [None, None, None]
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
 
-        def tap(axis, scale=1.0):
+        def tap(axis):
             p = idx[axis:axis + 1, :]
             nx = jnp.minimum(p + 1, n - 1)
-            wp = wts[2 * axis:2 * axis + 1, :] * scale
-            wn = wts[2 * axis + 1:2 * axis + 2, :] * scale
+            wp = wts[2 * axis:2 * axis + 1, :]
+            wn = wts[2 * axis + 1:2 * axis + 2, :]
             return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
 
         rv = tap(0)
-        g127 = tap(1, 127.0)            # (N, BM) f32
-        wbp = wts[4:5, :]
-        wbn = wts[5:6, :]
-        we = jnp.where(even, wbp + jnp.where(clamp, wbn, 0.0), wbn)
-        wo = jnp.where(even, jnp.where(clamp, 0.0, wbn), wbp)
-        true_sum = (wts[2:3, :] + wts[3:4, :]) * (wbp + wbn)
+        wgp, wgn = wts[2:3, :], wts[3:4, :]
+        wbp, wbn = wts[4:5, :], wts[5:6, :]
+        web, wob = _parity_weights(parb, clampb, wbp, wbn)
+        weg, wog = _parity_weights(parg, clampg, wgp, wgn)
+        scal = (web * weg, web * wog, wob * weg, wob * wog)
+        true_sum = (wgp + wgn) * (wbp + wbn)
 
-        # fold the (scalar-per-pixel) b-weight into the repeat SOURCE so the
-        # full-size build is select+convert only (no (rows, BM) multiply)
-        ae = pltpu.repeat(g127 * we, ne, axis=0)     # (ne*N, BM)
-        w8e = jnp.where(bdive == pe, ae, 0.0).astype(jnp.int8)
-        ao = pltpu.repeat(g127 * wo, n // 2, axis=0)  # ((n//2)*N, BM)
-        w8o = jnp.where(bdivo == po, ao, 0.0).astype(jnp.int8)
-        seg = (jnp.dot(lqe, w8e, preferred_element_type=jnp.int32)
-               + jnp.dot(lqo, w8o, preferred_element_type=jnp.int32))
-        t = seg.astype(jnp.float32) * s1
+        seg32 = None
+        for q in range(4):
+            w8 = jnp.where(masks[q], scal[q] * 127.0, 0.0).astype(jnp.int8)
+            d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], w8,
+                        preferred_element_type=jnp.int32)
+            seg32 = d if seg32 is None else seg32 + d
+        t = seg32.astype(jnp.float32) * s1
         meas = t[ones_row:ones_row + 1, :]
         scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
         for c in range(3):
             segc = t[c * n:(c + 1) * n, :]
             contrib = jnp.sum(segc * rv, axis=0) * scale[0, :]
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
-    for c in range(3):
-        out_ref[c, :] = acc[c]
+    return acc
 
 
 def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
@@ -520,12 +529,12 @@ def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
     idx = jnp.concatenate([pr, pg, pb], axis=0)
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _bf16_body(n, ones_row, len(passes), exact, fuse, idx, wall,
-               lhi_ref, llo_ref, out_ref)
+    _write_out(out_ref, _bf16_body(n, ones_row, len(passes), exact, fuse,
+                                   idx, wall, lhi_ref, llo_ref))
 
 
 def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
-               lhi_ref, llo_ref, out_ref):
+               lhi_ref, llo_ref, acc=None):
     """Shared bf16 contraction body. exact: the LUT is split into exact
     hi+lo bf16 halves (stacked into one dot when `fuse`), and the all-ones
     LUT row returns each pixel's ACTUAL weight sum so rescaling by
@@ -587,7 +596,8 @@ def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
                 t = t + jnp.dot(llo, ws[ps], preferred_element_type=jnp.float32)
             ts.append(t)
 
-    acc = [None, None, None]
+    if acc is None:
+        acc = [None, None, None]
     for ps in range(n_passes):
         t = ts[ps]
         meas = t[ones_row:ones_row + 1, :]
@@ -601,8 +611,7 @@ def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
             seg = t[c * n:(c + 1) * n, :]
             contrib = jnp.sum(seg * rvs[ps], axis=0) * scale[0, :]
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
-    for c in range(3):
-        out_ref[c, :] = acc[c]
+    return acc
 
 
 def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
@@ -694,44 +703,31 @@ def _launch_resid2(rgb3, owner, n_fine: int, n_resid: int,
     npix = rgb3.shape[1]
     rows = owner.rows_pad
     nr = n_resid
-    ne, no = (nr + 1) // 2, nr // 2
-    r3 = owner.resid_q.reshape(rows, nr, nr)
-    lqe = jnp.asarray(np.ascontiguousarray(
-        r3[:, ::2, :].reshape(rows, ne * nr)), jnp.int8)
-    lqo = jnp.asarray(np.ascontiguousarray(
-        r3[:, 1::2, :].reshape(rows, no * nr)), jnp.int8)
+    lq = jnp.asarray(owner.resid_qp, jnp.int8)
+    ktot = lq.shape[1]
     svr = jnp.asarray(owner.resid_scale, jnp.float32)
-    bdive = jnp.asarray(
-        (np.arange(ne * nr, dtype=np.int32) // nr).reshape(ne * nr, 1))
-    bdivo = jnp.asarray(
-        (np.arange(no * nr, dtype=np.int32) // nr).reshape(no * nr, 1))
     bm = min(1024, _block_pixels(
         nr, "int8_resid2",
         1 if interp_used in ("nearest", "trilinear") else 2))
     assert npix % bm == 0
     kernel = functools.partial(_fused_kernel_resid2, n_fine, nr,
-                               owner.ones_row, interp_used, dmin, dmax)
+                               owner.ones_row, interp_used,
+                               owner.resid_quad_widths, dmin, dmax)
     return pl.pallas_call(
         kernel,
         grid=(npix // bm,),
         in_specs=[
             pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, ne * nr), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, no * nr), lambda i: (0, 0),
+            pl.BlockSpec((rows, ktot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ne * nr, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((no * nr, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(rgb3, lqe, lqo, svr, bdive, bdivo)
+    )(rgb3, lq, svr)
 
 
 def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
@@ -808,6 +804,9 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     (A 3-level recursion — C17 + R33 + R65 — was implemented and measured
     SLOWER on-chip: the extra launch and per-block tap recompute outweigh
     the cheaper dots; see experiments/FINDINGS.md.)"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     dmin = tuple(float(v) for v in prep.domain_min)
     dmax = tuple(float(v) for v in prep.domain_max)
     coarse_mode = ("exact" if precision.startswith("coarse2x")
@@ -817,11 +816,89 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
                     if precision.endswith("_tri") and interp != "trilinear"
                     else interp)
 
-    out = _launch_resid2(rgb3, prep, n, n, resid_interp, dmin, dmax,
-                         interpret)
-    out = out + _launch_coarse(rgb3, prep.coarse, n, interp,
-                               coarse_mode, dmin, dmax, interpret)
+    cp = prep.coarse
+    m = cp.size
+    msq = m * m
+    rows_f = prep.rows_pad
+    rows_m = cp.rows_pad
+    lr = jnp.asarray(prep.resid_qp, jnp.int8)
+    sr = jnp.asarray(prep.resid_scale, jnp.float32)
+    if coarse_mode == "int8_fast":
+        lc = jnp.asarray(cp.lmat_qp, jnp.int8)
+        lcb = jnp.zeros((8, 128), jnp.bfloat16)     # unused placeholder
+        sc = jnp.asarray(
+            np.concatenate([cp.scale_q1, cp.scale_q2, cp.bias_q], axis=0),
+            jnp.float32)
+        c_rows = 2 * rows_m
+        kc = lc.shape[1]
+    elif coarse_mode == "fast":
+        lc = jnp.asarray(cp.lmat_hi, jnp.bfloat16)  # hi only: half the dot
+        lcb = jnp.zeros((8, msq), jnp.bfloat16)
+        sc = jnp.zeros((8, 1), jnp.float32)
+        c_rows = rows_m
+        kc = msq
+    else:
+        lc = jnp.asarray(
+            np.concatenate([cp.lmat_hi, cp.lmat_lo], axis=0), jnp.bfloat16)
+        lcb = jnp.zeros((8, msq), jnp.bfloat16)
+        sc = jnp.zeros((8, 1), jnp.float32)
+        c_rows = 2 * rows_m
+        kc = msq
+
+    npix = rgb3.shape[1]
+    bm = 1024
+    assert npix % bm == 0
+    kernel = functools.partial(
+        _fused_kernel_coarse2, n, m, prep.ones_row, cp.ones_row, interp,
+        resid_interp, coarse_mode, prep.resid_quad_widths, cp.quad_widths,
+        dmin, dmax)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npix // bm,),
+        in_specs=[
+            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_f, lr.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_f, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_rows, kc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lcb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sc.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
+        interpret=interpret,
+    )(rgb3, lr, sr, lc, lcb, sc)
     return out[:3]
+
+
+def _fused_kernel_coarse2(n, m, ones_row_f, ones_row_c, interp, resid_interp,
+                          coarse_mode, rwidths, cwidths, dmin, dmax,
+                          rgb_ref, lr_ref, sr_ref, lc_ref, lcb_ref, sc_ref,
+                          out_ref):
+    """MERGED coarse+residual kernel: both terms of the decomposition in one
+    pallas_call, sharing the block's coordinate math (CSE) and accumulating
+    into one output — saves a kernel launch, the duplicate fine-tap
+    computation, and an (8, P) HBM round-trip + XLA add per frame (~9 ms/4K
+    measured as the gap between the summed component times and the 2-kernel
+    total)."""
+    rgb = rgb_ref[:]
+    idxf, wallf, np_f = _fine_taps_remapped(rgb, n, n, resid_interp,
+                                            dmin, dmax)
+    acc = _resid_quad_body(n, ones_row_f, np_f, rwidths, idxf, wallf,
+                           lr_ref, sr_ref)
+    idxc, wallc, np_c = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
+    if coarse_mode == "int8_fast":
+        acc = _int8_quad_body(m, ones_row_c, np_c, False, cwidths, idxc,
+                              wallc, lc_ref, sc_ref, acc)
+    else:
+        acc = _bf16_body(m, ones_row_c, np_c, coarse_mode == "exact",
+                         m <= 33, idxc, wallc, lc_ref, lcb_ref, acc)
+    _write_out(out_ref, acc)
 
 
 def apply_lut_planes(

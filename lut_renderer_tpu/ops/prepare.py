@@ -79,6 +79,8 @@ class PreparedLut:
     resid_q: Optional[np.ndarray] = None       # (rows_pad, N^2) int8
     resid_scale: Optional[np.ndarray] = None   # (rows_pad, 1) f32, 1/254 fold
     resid_bias: Optional[np.ndarray] = None    # (rows_pad, 1) f32
+    resid_qp: Optional[np.ndarray] = None      # quad_permute(resid_q)
+    resid_quad_widths: Optional[Tuple[int, int, int, int]] = None
     _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
     _auto_cache: Dict[str, str] = field(default_factory=dict)
 
@@ -306,6 +308,7 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         np.concatenate([q1, q2], axis=0).astype(np.int8), n)
 
     coarse = resid_q = resid_scale = resid_bias = None
+    resid_qp = resid_quad_widths = None
     if (n >= 49 or force_coarse) and n % 2 == 1 and n >= 9:
         c_table = np.ascontiguousarray(table[::2, ::2, ::2])
         resid = table - _upsample2_linear(c_table)
@@ -317,6 +320,7 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_q, resid_scale, resid_bias = _int8_single(
             _lmat_from_table(resid, rows_pad)
         )
+        resid_qp, resid_quad_widths = quad_permute(resid_q, n)
 
     return PreparedLut(
         lmat=lmat,
@@ -339,6 +343,8 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_q=resid_q,
         resid_scale=resid_scale,
         resid_bias=resid_bias,
+        resid_qp=resid_qp,
+        resid_quad_widths=resid_quad_widths,
     )
 
 
