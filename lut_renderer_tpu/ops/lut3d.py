@@ -202,7 +202,7 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
-def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
+def _fused_kernel_int8(n: int, interp: str,
                        widths, dmin, dmax, rgb_ref, lq_ref, s_ref,
                        out_ref):
     """Fused-taps int8 kernel: raw RGB f32 rows in, coordinates and per-pass
@@ -218,7 +218,7 @@ def _fused_kernel_int8(n: int, ones_row: int, interp: str, wpair: bool,
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     # each pass stacks (1, BM) rows -> (6, 1, BM); flatten the unit axis
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _write_out(out_ref, _int8_quad_body(n, ones_row, len(passes), wpair,
+    _write_out(out_ref, _int8_quad_body(n, len(passes),
                                         widths, idx, wall, lq_ref, s_ref))
 
 
@@ -245,44 +245,17 @@ def _write_out(out_ref, acc):
         out_ref[c, :] = acc[c]
 
 
-def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
-                    lq_ref, s_ref, acc=None):
-    """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
-    in prepare.quad_permute column layout — the K axis split into four
-    (b even/odd x g even/odd) blocks, so within each block every pixel is
-    ONE-tap in both g and b. The weight tile per quadrant collapses to a
-    single select of a per-pixel scalar row (offset int8, round(w*254)-127;
-    inactive columns code -127 = "zero", their contribution is the
-    precomputed per-row bias) against a one-hot mask hoisted across passes
-    (targets depend only on the cell indices). ~2 full-size VPU ops/pass vs
-    ~7 for the repeat-based build (48.9 -> 44.8 ms/4K tetra measured, bit-
-    identical results: same W entries, exact int32 accumulation). int8 runs
-    the MXU at 2x bf16 (361-373 vs 165-188 TOPS measured, v5e).
-
-    The table planes hold the identity-DETRENDED LUT (prepare._identity_lmat)
-    so the weight LSB only rotates against the detrended cell spread; the
-    identity part of each pass is separable in the compact tap weights —
-    ident_c = S1_c * prod(S0_other) with S0 = wp + wn, S1 = (wp*p + wn*nx)
-    / (n-1) — and is added EXACTLY from (1, BM) f32 scalars, outside the
-    sum-correction (which only repairs the quantized-table term).
-
-    wpair=False ("int8_fast"): ONE int8 dot per pass; the weight LSB (1/254)
-    rotated against cell-local LUT spread dominates the error — gated per
-    LUT by prepare.simulate_mode_error. wpair=True ("int8"): the weight tile
-    also splits into int8 hi/lo halves (1.5 dots/pass, weight error 1.5e-5);
-    the lo rows are per-pixel scalars too, so the extra build is one more
-    select per quadrant."""
-    bm = idx.shape[1]
-    rows_l = lq_ref.shape[0]
-    half = rows_l // 2
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
+def _quad_setup(n, widths, idx, bm):
+    """Shared parity-quadrant geometry: per-quadrant column offsets and the
+    one-hot target masks. Quadrant order matches prepare.quad_permute:
+    (b,g) = ee, eo, oe, oo; columns b-major/g-minor, per-quadrant zero
+    padding at the block end. Targets depend only on the cell indices, so
+    the masks are pass-independent — which is what lets the quadrant DOTS
+    hoist out of the pass loop entirely (see _int8_quad_body)."""
     ne = (n + 1) // 2
     no = n // 2
-
     parb, clampb, be, bo = _parity_split(idx[2:3, :], n)
     parg, clampg, ge, go = _parity_split(idx[1:2, :], n)
-    # quadrant order matches prepare.quad_permute: (b,g) = ee, eo, oe, oo;
-    # columns b-major/g-minor, per-quadrant zero padding at the block end
     bsel = (be, be, bo, bo)
     gsel = (ge, go, ge, go)
     gwidth = (ne, no, ne, no)
@@ -296,13 +269,21 @@ def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
         == (bsel[q] * gwidth[q] + gsel[q])
         for q in range(4)
     ]
+    return offs, masks, (parb, clampb), (parg, clampg)
 
-    s1 = s_ref[:half, :]                # (half, 1) f32 (weight norm folded)
-    s2 = s_ref[half:half * 2, :]
-    bias = s_ref[half * 2:, :]          # (half, 1) f32 offset-weight bias
 
-    if acc is None:
-        acc = [None, None, None]
+def _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g, iota):
+    """Per-pass r-axis tap vectors and per-quadrant (g,b) corner weights.
+
+    Within a parity quadrant every pixel is ONE-tap in both g and b, so the
+    (g,b) weight of pass ps collapses to a per-pixel SCALAR per quadrant
+    (web*weg etc.) — a column-constant factor of the weight tile. Column
+    constants commute with the matmul, so they apply AFTER the dot, in f32,
+    EXACTLY: the int8 tiers carry no weight quantization at all (and
+    negative weights — pyramid's difference pass — are fine)."""
+    parb, clampb = par_b
+    parg, clampg = par_g
+    rvs, scals = [], []
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
 
@@ -313,40 +294,66 @@ def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
             wn = wts[2 * axis + 1:2 * axis + 2, :]
             return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
 
-        rv = tap(0)                     # f32 r-axis taps (VPU side)
+        rvs.append(tap(0))              # f32 r-axis taps (VPU side)
         wgp, wgn = wts[2:3, :], wts[3:4, :]
         wbp, wbn = wts[4:5, :], wts[5:6, :]
         web, wob = _parity_weights(parb, clampb, wbp, wbn)
         weg, wog = _parity_weights(parg, clampg, wgp, wgn)
-        scal = (web * weg, web * wog, wob * weg, wob * wog)
-        true_sum = (wgp + wgn) * (wbp + wbn)
+        scals.append((web * weg, web * wog, wob * weg, wob * wog))
+    return rvs, scals
 
-        seg32 = None
-        rows1 = []                      # per-quadrant rounded hi rows (wpair)
-        for q in range(4):
-            w1row = jnp.round(scal[q] * 254.0 - 127.0)      # (1, BM)
-            rows1.append(w1row)
-            w8 = jnp.where(masks[q], w1row, -127.0).astype(jnp.int8)
-            d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], w8,
-                        preferred_element_type=jnp.int32)
-            seg32 = d if seg32 is None else seg32 + d
-        seg = seg32.astype(jnp.float32)
-        t = seg[:half, :] * s1 + seg[half:, :] * s2 + bias
-        if wpair:
-            seg2 = None
-            for q in range(4):
-                w2row = jnp.round(
-                    (scal[q] * 254.0 - 127.0 - rows1[q]) * 254.0)
-                w2 = jnp.where(masks[q], w2row, 0.0).astype(jnp.int8)
-                d = jnp.dot(lq_ref[:half, offs[q]:offs[q] + widths[q]], w2,
-                            preferred_element_type=jnp.int32)
-                seg2 = d if seg2 is None else seg2 + d
-            t = t + seg2.astype(jnp.float32) * (s1 * (1.0 / 254.0))
-        meas = t[ones_row:ones_row + 1, :]
-        scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
 
-        # analytic identity term (exact f32 weights, uncorrected)
-        inv = 1.0 / (n - 1)
+def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref, acc=None):
+    """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
+    in prepare.quad_permute column layout — the K axis split into four
+    (b even/odd x g even/odd) blocks, so within each block every pixel is
+    ONE-tap in both g and b. The W operand is just the hoisted one-hot mask
+    (0/1 int8, built ONCE per block): each quadrant dot is a pure gather of
+    the pixel's (g,b)-corner column, independent of the pass weights, so the
+    4 dots run ONCE and are reused by every pass — tetrahedral pays the same
+    MXU time as trilinear. The exact f32 (g,b) corner weights then apply
+    post-dot per quadrant (see _quad_pass_factors), folded into the r-tap
+    vector, so the int8 tier's ONLY error is the per-row table quantization
+    (hi/lo pair: <= rowmax * 1.6e-5 — near-exact, no per-LUT weight gating
+    needed, negative-weight interps OK). int8 runs the MXU at 2x bf16
+    (361-373 vs 165-188 TOPS measured, v5e).
+
+    The table planes hold the identity-DETRENDED LUT (prepare._identity_lmat)
+    so quantization rotates against the detrended cell spread only; the
+    identity part of each pass is separable in the compact tap weights —
+    ident_c = S1_c * prod(S0_other) with S0 = wp + wn, S1 = (wp*p + wn*nx)
+    / (n-1) — and is added EXACTLY from (1, BM) f32 scalars.
+
+    s_ref rows: [s1_unfolded; s2_unfolded] per-row dequant scales."""
+    bm = idx.shape[1]
+    half = lq_ref.shape[0] // 2
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
+    offs, masks, par_b, par_g = _quad_setup(n, widths, idx, bm)
+    rvs, scals = _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g,
+                                    iota)
+    s1 = s_ref[:half, :]                # (half, 1) f32 per-row dequant
+    s2 = s_ref[half:, :]
+
+    if acc is None:
+        acc = [None, None, None]
+    for q in range(4):
+        m8 = jnp.where(masks[q], 1.0, 0.0).astype(jnp.int8)
+        d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
+                    preferred_element_type=jnp.int32)
+        df = d.astype(jnp.float32)
+        e = df[:half, :] * s1 + df[half:, :] * s2   # dequantized corner cols
+        rw = None                       # combined r-tap x quadrant weight
+        for ps in range(n_passes):
+            t = rvs[ps] * scals[ps][q]
+            rw = t if rw is None else rw + t
+        for c in range(3):
+            contrib = jnp.sum(e[c * n:(c + 1) * n, :] * rw, axis=0)
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+
+    # analytic identity term (exact f32 weights), one per pass
+    inv = 1.0 / (n - 1)
+    for ps in range(n_passes):
+        wts = wall[6 * ps:6 * ps + 6, :]
 
         def s01(axis):
             p = idx[axis:axis + 1, :]
@@ -362,10 +369,7 @@ def _int8_quad_body(n, ones_row, n_passes, wpair, widths, idx, wall,
         sb0, sb1 = s01(2)
         ident = (sr1 * sg0 * sb0, sr0 * sg1 * sb0, sr0 * sg0 * sb1)
         for c in range(3):
-            segc = t[c * n:(c + 1) * n, :]
-            contrib = (jnp.sum(segc * rv, axis=0) * scale[0, :]
-                       + ident[c][0, :])
-            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+            acc[c] = acc[c] + ident[c][0, :]
     return acc
 
 
@@ -413,7 +417,7 @@ def _fine_taps_remapped(rgb, n_fine: int, n_out: int, interp: str,
     return idx, wall, len(passes)
 
 
-def _fused_kernel_resid2(n_fine: int, n_resid: int, ones_row: int,
+def _fused_kernel_resid2(n_fine: int, n_resid: int,
                          interp: str, widths, dmin, dmax,
                          rgb_ref, lq_ref, s_ref, out_ref):
     """Fused-taps parity-quadrant residual kernel (see _fused_kernel_int8).
@@ -422,7 +426,7 @@ def _fused_kernel_resid2(n_fine: int, n_resid: int, ones_row: int,
     rgb = rgb_ref[:]
     idx, wall, n_passes = _fine_taps_remapped(rgb, n_fine, n_resid, interp,
                                               dmin, dmax)
-    _write_out(out_ref, _resid_quad_body(n_resid, ones_row, n_passes,
+    _write_out(out_ref, _resid_quad_body(n_resid, n_passes,
                                          widths, idx, wall, lq_ref, s_ref))
 
 
@@ -434,12 +438,12 @@ def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
     to grid m — one halving per level, so m = 33 is the coarse2 term and
     m = 17 the doubly-remapped term of the 3-level recursion — and
     contracted against the coarse table at `coarse_mode` numerics:
-    "int8_fast" (quadrant offset-int8), "fast" (bf16 hi-only, half the
-    exact dot) or exact bf16 hi/lo."""
+    "int8_fast" (quadrant hoisted-dot int8 pair), "fast" (bf16 hi-only,
+    half the exact dot) or exact bf16 hi/lo."""
     rgb = rgb_ref[:]
     idxc, wallc, n_passes = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
-        _write_out(out_ref, _int8_quad_body(m, ones_row, n_passes, False,
+        _write_out(out_ref, _int8_quad_body(m, n_passes,
                                             widths, idxc, wallc, la_ref,
                                             s_ref))
     else:
@@ -448,71 +452,36 @@ def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
                                        idxc, wallc, la_ref, lb_ref))
 
 
-def _resid_quad_body(n, ones_row, n_passes, widths, idx, wall, lq_ref,
+def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
                      s_ref, acc=None):
     """Parity-quadrant residual body: the single-plane int8 residual matrix
-    in prepare.quad_permute layout. Within a quadrant every pixel is
-    one-tap in both g and b, so each tile is one select of a per-pixel
-    scalar row (trunc at 127 scale via the int8 convert — the truncation
-    bias is cancelled by the sum correction, and entries equal the
-    b-parity build's trunc(g*127*wb), so prepare's simulator gates both
-    identically); the four dots sum in int32 before a single dequant."""
+    in prepare.quad_permute layout. Same hoisted-dot structure as
+    _int8_quad_body (one 0/1 mask dot per quadrant, shared by all passes;
+    exact f32 corner weights applied post-dot folded into the r-tap
+    vector), with a single dequant plane. The residual tier's only error is
+    the per-row int8 table quantization (<= rowmax/254 of an already-tiny
+    residual) — no weight error, no interp-substitution gating needed."""
     bm = idx.shape[1]
     half = lq_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-    ne = (n + 1) // 2
-    no = n // 2
-
-    parb, clampb, be, bo = _parity_split(idx[2:3, :], n)
-    parg, clampg, ge, go = _parity_split(idx[1:2, :], n)
-    bsel = (be, be, bo, bo)
-    gsel = (ge, go, ge, go)
-    gwidth = (ne, no, ne, no)
-    offs = []
-    o = 0
-    for w in widths:
-        offs.append(o)
-        o += w
-    masks = [
-        jax.lax.broadcasted_iota(jnp.int32, (widths[q], bm), 0)
-        == (bsel[q] * gwidth[q] + gsel[q])
-        for q in range(4)
-    ]
-
+    offs, masks, par_b, par_g = _quad_setup(n, widths, idx, bm)
+    rvs, scals = _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g,
+                                    iota)
     s1 = s_ref[:half, :]
 
     if acc is None:
         acc = [None, None, None]
-    for ps in range(n_passes):
-        wts = wall[6 * ps:6 * ps + 6, :]
-
-        def tap(axis):
-            p = idx[axis:axis + 1, :]
-            nx = jnp.minimum(p + 1, n - 1)
-            wp = wts[2 * axis:2 * axis + 1, :]
-            wn = wts[2 * axis + 1:2 * axis + 2, :]
-            return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
-
-        rv = tap(0)
-        wgp, wgn = wts[2:3, :], wts[3:4, :]
-        wbp, wbn = wts[4:5, :], wts[5:6, :]
-        web, wob = _parity_weights(parb, clampb, wbp, wbn)
-        weg, wog = _parity_weights(parg, clampg, wgp, wgn)
-        scal = (web * weg, web * wog, wob * weg, wob * wog)
-        true_sum = (wgp + wgn) * (wbp + wbn)
-
-        seg32 = None
-        for q in range(4):
-            w8 = jnp.where(masks[q], scal[q] * 127.0, 0.0).astype(jnp.int8)
-            d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], w8,
-                        preferred_element_type=jnp.int32)
-            seg32 = d if seg32 is None else seg32 + d
-        t = seg32.astype(jnp.float32) * s1
-        meas = t[ones_row:ones_row + 1, :]
-        scale = jnp.where(jnp.abs(meas) > 0.01, true_sum / meas, 1.0)
+    for q in range(4):
+        m8 = jnp.where(masks[q], 1.0, 0.0).astype(jnp.int8)
+        d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
+                    preferred_element_type=jnp.int32)
+        e = d.astype(jnp.float32) * s1
+        rw = None
+        for ps in range(n_passes):
+            t = rvs[ps] * scals[ps][q]
+            rw = t if rw is None else rw + t
         for c in range(3):
-            segc = t[c * n:(c + 1) * n, :]
-            contrib = jnp.sum(segc * rv, axis=0) * scale[0, :]
+            contrib = jnp.sum(e[c * n:(c + 1) * n, :] * rw, axis=0)
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     return acc
 
@@ -614,6 +583,14 @@ def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
     return acc
 
 
+def _unfolded_pair_scales(prep) -> np.ndarray:
+    """Per-row dequant scales for the hoisted-dot int8 body: the stored
+    scale_q1/q2 fold a 1/254 weight norm from the retired in-dot weight
+    coding; the mask dot needs the raw per-row scales back."""
+    return np.concatenate([prep.scale_q1 * 254.0, prep.scale_q2 * 254.0],
+                          axis=0)
+
+
 def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
                interpret: bool) -> jnp.ndarray:
     """Fused-taps launch: (3, P) f32 RGB in, coordinates/weights computed
@@ -632,14 +609,14 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     dmax = tuple(float(v) for v in prep.domain_max)
 
     if mode in ("int8", "int8_fast"):
+        # "int8" (the historical weight-pair tier) is an alias of
+        # "int8_fast" since the hoisted-dot restructure: weights are exact
+        # f32 post-dot factors in both, so the tiers coincide.
         lq = jnp.asarray(prep.lmat_qp, jnp.int8)
         ktot = lq.shape[1]
-        sv = jnp.asarray(
-            np.concatenate([prep.scale_q1, prep.scale_q2, prep.bias_q],
-                           axis=0), jnp.float32
-        )
-        kernel = functools.partial(_fused_kernel_int8, n, prep.ones_row,
-                                   interp, mode == "int8", prep.quad_widths,
+        sv = jnp.asarray(_unfolded_pair_scales(prep), jnp.float32)
+        kernel = functools.partial(_fused_kernel_int8, n,
+                                   interp, prep.quad_widths,
                                    dmin, dmax)
         out = pl.pallas_call(
             kernel,
@@ -649,7 +626,7 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * rows_pad, ktot), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * rows_pad, 1), lambda i: (0, 0),
+                pl.BlockSpec((2 * rows_pad, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
@@ -705,13 +682,13 @@ def _launch_resid2(rgb3, owner, n_fine: int, n_resid: int,
     nr = n_resid
     lq = jnp.asarray(owner.resid_qp, jnp.int8)
     ktot = lq.shape[1]
-    svr = jnp.asarray(owner.resid_scale, jnp.float32)
+    svr = jnp.asarray(owner.resid_scale * 127.0, jnp.float32)  # unfolded
     bm = min(1024, _block_pixels(
         nr, "int8_resid2",
         1 if interp_used in ("nearest", "trilinear") else 2))
     assert npix % bm == 0
     kernel = functools.partial(_fused_kernel_resid2, n_fine, nr,
-                               owner.ones_row, interp_used,
+                               interp_used,
                                owner.resid_quad_widths, dmin, dmax)
     return pl.pallas_call(
         kernel,
@@ -750,9 +727,7 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
         la = jnp.asarray(cp.lmat_qp, jnp.int8)
         ka = la.shape[1]
         lb = jnp.zeros((8, msq), jnp.bfloat16)   # unused placeholder
-        sv = jnp.asarray(
-            np.concatenate([cp.scale_q1, cp.scale_q2, cp.bias_q], axis=0),
-            jnp.float32)
+        sv = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
         a_rows = 2 * rows_m
     elif coarse_mode == "fast":
         la = jnp.asarray(cp.lmat_hi, jnp.bfloat16)   # hi only: half the dot
@@ -822,13 +797,11 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     rows_f = prep.rows_pad
     rows_m = cp.rows_pad
     lr = jnp.asarray(prep.resid_qp, jnp.int8)
-    sr = jnp.asarray(prep.resid_scale, jnp.float32)
+    sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
     if coarse_mode == "int8_fast":
         lc = jnp.asarray(cp.lmat_qp, jnp.int8)
         lcb = jnp.zeros((8, 128), jnp.bfloat16)     # unused placeholder
-        sc = jnp.asarray(
-            np.concatenate([cp.scale_q1, cp.scale_q2, cp.bias_q], axis=0),
-            jnp.float32)
+        sc = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
         c_rows = 2 * rows_m
         kc = lc.shape[1]
     elif coarse_mode == "fast":
@@ -849,7 +822,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     bm = 1024
     assert npix % bm == 0
     kernel = functools.partial(
-        _fused_kernel_coarse2, n, m, prep.ones_row, cp.ones_row, interp,
+        _fused_kernel_coarse2, n, m, cp.ones_row, interp,
         resid_interp, coarse_mode, prep.resid_quad_widths, cp.quad_widths,
         dmin, dmax)
     out = pl.pallas_call(
@@ -876,7 +849,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     return out[:3]
 
 
-def _fused_kernel_coarse2(n, m, ones_row_f, ones_row_c, interp, resid_interp,
+def _fused_kernel_coarse2(n, m, ones_row_c, interp, resid_interp,
                           coarse_mode, rwidths, cwidths, dmin, dmax,
                           rgb_ref, lr_ref, sr_ref, lc_ref, lcb_ref, sc_ref,
                           out_ref):
@@ -889,11 +862,11 @@ def _fused_kernel_coarse2(n, m, ones_row_f, ones_row_c, interp, resid_interp,
     rgb = rgb_ref[:]
     idxf, wallf, np_f = _fine_taps_remapped(rgb, n, n, resid_interp,
                                             dmin, dmax)
-    acc = _resid_quad_body(n, ones_row_f, np_f, rwidths, idxf, wallf,
+    acc = _resid_quad_body(n, np_f, rwidths, idxf, wallf,
                            lr_ref, sr_ref)
     idxc, wallc, np_c = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
-        acc = _int8_quad_body(m, ones_row_c, np_c, False, cwidths, idxc,
+        acc = _int8_quad_body(m, np_c, cwidths, idxc,
                               wallc, lc_ref, sc_ref, acc)
     else:
         acc = _bf16_body(m, ones_row_c, np_c, coarse_mode == "exact",
@@ -924,11 +897,8 @@ def apply_lut_planes(
     if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
     precision = prep.resolve_precision(interp, precision)
-    if interp == "pyramid" and (precision.startswith("int8")
-                                or precision.startswith("coarse")):
-        # negative difference-pass weights underflow the offset-int8 code
-        # range; never run pyramid through an int8 tier even when requested
-        precision = "exact"
+    # (pyramid's negative difference-pass weights are fine in the int8 tiers
+    # since the hoisted-dot restructure: weights are exact f32 post-dot.)
     shape = r.shape
     n = prep.size
 

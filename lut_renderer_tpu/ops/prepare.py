@@ -15,9 +15,10 @@ Three numeric representations are prebaked:
 
 precision="auto" resolves to the fastest representation whose SIMULATED
 worst-case error for THIS lut clears the dE76 budget: simulate_mode_error
-replays the kernel's numerics (quantized table, quantized weights, sum
-correction) in NumPy over a dense probe set and returns max dE76 vs the f32
-reference. The choice is cached per (interp, mode) on the PreparedLut.
+replays the kernel's numerics (quantized table planes; the int8 tiers use
+exact f32 post-dot weights — see lut3d._int8_quad_body) in NumPy over a
+dense probe set and returns max dE76 vs the f32 reference. The choice is
+cached per (interp, mode) on the PreparedLut.
 
 Also carries the domain mapping parameters (DOMAIN_MIN/MAX of the .cube file)
 so the apply path can remap inputs exactly like the reference oracle
@@ -56,14 +57,15 @@ class PreparedLut:
     # Parity-quadrant layout of the stacked [q1; q2] pair: K columns permuted
     # into (b even/odd) x (g even/odd) blocks, each zero-padded to 32 columns.
     # Within a quadrant every pixel is ONE-tap in both g and b, so the
-    # kernel's weight tile collapses to one select of a per-pixel scalar row
-    # against a hoisted one-hot mask (lut3d._int8_quad_body). Same entries,
-    # int32 accumulation -> bit-identical results to the unpermuted layout.
+    # kernel's W operand is just a hoisted 0/1 one-hot mask and the exact
+    # f32 weights apply post-dot (lut3d._int8_quad_body): the quadrant dots
+    # are pass-independent and run once per block.
     lmat_qp: np.ndarray     # (2*rows_pad, K') int8, K' = sum(quad_widths)
     quad_widths: Tuple[int, int, int, int]  # (ee, eo, oe, oo) padded widths
     scale_q1: np.ndarray    # (rows_pad, 1) f32, includes the 1/254 weight norm
     scale_q2: np.ndarray    # (rows_pad, 1) f32
-    bias_q: np.ndarray      # (rows_pad, 1) f32 offset-weight bias (127*rowsum)
+    bias_q: np.ndarray      # (rows_pad, 1) f32 (legacy offset-weight bias;
+                            # unused since the hoisted-dot restructure)
     size: int               # N
     rows_pad: int           # padded row count (output dim of the matmul)
     ones_row: int           # row index of the all-ones sum-correction row (3N)
@@ -96,14 +98,7 @@ class PreparedLut:
         LUT under `interp` (cached)."""
         key = (interp, mode)
         if key not in self._mode_errors:
-            if interp == "pyramid" and (mode.startswith("int8")
-                                        or mode.startswith("coarse")):
-                # pyramid's difference pass carries NEGATIVE weights (-dX);
-                # offset-int8 codes round(w*254)-127 underflow int8 for
-                # w < 0, so the int8 tiers are structurally invalid there
-                # (and the numeric sim would not model the wraparound)
-                self._mode_errors[key] = float("inf")
-            elif mode.startswith("coarse2"):
+            if mode.startswith("coarse2"):
                 if self.coarse is None:
                     return float("inf")
                 resid_interp = ("trilinear" if mode.endswith("_tri")
@@ -124,35 +119,28 @@ class PreparedLut:
                           budget: float = DE76_BUDGET) -> str:
         """Map a requested precision to a concrete kernel mode.
 
-        "auto" walks the tiers in measured-cost order (4K ms on v5e, N=33
-        tetra with the quadrant build: int8_fast 46 < fast 54 < exact 59 <
-        int8 81, so at N<=33 the int8 weight-pair tier is strictly worse
-        than exact and drops out of the ladder; N=65 tetra: coarse2_tri
-        ~125 < coarse2x_tri ~145 < coarse2 ~200 < int8_fast 220 < int8 362 <
-        exact 437) and picks the first whose simulated per-LUT error clears
-        the budget."""
+        "auto" walks the tiers in measured-cost order and picks the first
+        whose simulated per-LUT error clears the budget. Since the
+        hoisted-dot restructure the int8 tiers carry NO weight quantization
+        (weights are exact f32 post-dot factors), so int8_fast is near-exact
+        (table pair error ~rowmax*1.6e-5) and gates in for essentially every
+        LUT, any interp — including pyramid's negative weights. "int8" is a
+        kept alias of "int8_fast"; the "_tri" residual-substitution tiers
+        remain accepted but have no speed advantage anymore and left the
+        ladder."""
         if requested != "auto":
             return requested
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
-        ladder = (["int8_fast", "fast"] if self.size <= 33
-                  else ["int8_fast", "fast", "int8"])
+        ladder = ["int8_fast", "fast"]
         if self.coarse is not None:
-            # measured 4K costs at N=65 (ms): coarse2_tri ~120 < coarse2f_tri
-            # ~125 < coarse2x_tri 140 < coarse2 ~190 < coarse2f ~200 <
-            # coarse2x 215 < int8_fast 240 < fast < exact 437. Coarse-term
-            # numerics: "" = offset-int8 (fails for LUTs whose coarse cells
-            # spread past the weight LSB), "f" = bf16-hi-only (half the
-            # exact dot; table error 2^-9-relative), "x" = exact bf16 pair.
-            # The residual terms are near-exact by construction.
-            if interp == "trilinear":
-                ladder = ["coarse2", "coarse2f", "coarse2x", "int8_fast",
-                          "fast", "int8"]
-            elif interp == "tetrahedral":
-                ladder = ["coarse2_tri", "coarse2f_tri", "coarse2x_tri",
-                          "coarse2", "coarse2f", "coarse2x", "int8_fast",
-                          "fast", "int8"]
+            # Coarse-term numerics: "" = int8 pair, "f" = bf16-hi-only,
+            # "x" = exact bf16 pair. Residual terms are near-exact by
+            # construction; all tiers share the hoisted-dot structure, so
+            # pass count no longer multiplies the MXU time.
+            ladder = ["coarse2", "coarse2f", "coarse2x", "int8_fast",
+                      "fast"]
         choice = "exact"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
@@ -186,13 +174,11 @@ def _identity_lmat(n: int, rows_pad: int) -> np.ndarray:
 def _int8_pair(lmat: np.ndarray, ones_row: int):
     """Per-row symmetric hi/lo int8 quantization of the LUT matrix.
 
-    The kernel stores the weight tile as OFFSET int8: round(w * 254) - 127,
-    doubling weight resolution over the naive round(w * 127) for free — the
-    offset's contribution is (127/254) * rowsum(L), a per-row constant that
-    becomes a precomputed bias added after the dot (the MXU is dense, so the
-    now-nonzero "zero" entries cost nothing). Row scales fold in the 1/254
-    dequant so the kernel does one multiply + one bias add; the ones row is
-    stored exactly (q=127) so the sum-correction readout stays faithful."""
+    Scales are stored FOLDED by 1/254 (a convention kept from the retired
+    in-dot offset-weight coding; lut3d._unfolded_pair_scales restores the
+    raw per-row dequant scales for the hoisted-dot kernel, whose W operand
+    is a 0/1 mask). The bias row is likewise legacy and unused by the
+    kernel. Table error of the pair: <= rowmax * 1.6e-5 (near-exact)."""
     absmax = np.abs(lmat).max(axis=1, keepdims=True)
     s1 = absmax / 127.0
     safe1 = np.where(s1 > 0, s1, 1.0)
@@ -267,10 +253,9 @@ def _lmat_from_table(table: np.ndarray, rows_pad: int) -> np.ndarray:
 
 def _int8_single(lmat: np.ndarray):
     """Per-row symmetric single-plane int8 (for small-magnitude residuals:
-    error <= rowmax/254, negligible when rowmax ~ 1e-2). The residual kernel
-    skips the offset trick and truncates weights at 127 scale (its numeric
-    headroom is huge and the trimmed ops cut the VPU-bound tile build), so
-    the fold is 1/127 and the bias row is zero."""
+    error <= rowmax/254, negligible when rowmax ~ 1e-2). Scales stored
+    folded by 1/127 (legacy convention; the launcher unfolds). Bias row is
+    zero and unused."""
     absmax = np.abs(lmat).max(axis=1, keepdims=True)
     s = absmax / 127.0
     safe = np.where(s > 0, s, 1.0)
@@ -430,11 +415,11 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     """Replay the kernel's reduced-precision numerics in NumPy and return the
     max dE76 vs the exact f32 result over a dense probe set.
 
-    Faithful to the kernel: quantized table planes, weight tile quantization
-    (bf16 cast for "fast", round(w*127)/127 for "int8"), and the
-    ones-row sum correction with its |meas| > 0.01 gate. The int32/f32
-    accumulations themselves are exact, so NumPy f64 replay is a faithful
-    upper-level model."""
+    Faithful to the kernel: quantized table planes; weight-tile bf16 cast +
+    ones-row sum correction for "fast"; the int8 tiers use EXACT f32
+    weights post-dot (hoisted-dot structure), so their only modeled error
+    is the quantized table. The int32/f32 accumulations themselves are
+    exact, so NumPy f64 replay is a faithful upper-level model."""
     import ml_dtypes
 
     from ..colorcore.metrics import max_delta_e76
@@ -484,18 +469,9 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
         qt_flat = (prep.lmat_q1[:rows].astype(np.float32) * s1
                    + prep.lmat_q2[:rows].astype(np.float32) * s2)
         qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
-        if mode == "int8":
-            # weight hi/lo pair: residual LSB is 1/254^2 (the dropped q2@W2
-            # cross term is O(1e-9)); the dominant table error remains
-            def w_quant(w):
-                w254 = w * 254.0
-                w1 = np.round(w254)
-                w2 = np.round((w254 - w1) * 254.0)
-                return (w1 + w2 / 254.0) / 254.0
-        else:
-            # offset-int8: round(w*254)-127 stored, +127 restored via the
-            # precomputed per-row bias — effective LSB 1/254
-            w_quant = lambda w: np.round(w * 254.0) / 254.0  # noqa: E731
+        # hoisted-dot structure: the (g,b) corner weights are exact f32
+        # post-dot factors — no weight quantization, no sum correction
+        w_quant = lambda w: w  # noqa: E731
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -526,7 +502,7 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
         return acc
 
     ref = interp_with(cell, lambda w: w, correct=False)
-    got = interp_with(qcell, w_quant, correct=True)
+    got = interp_with(qcell, w_quant, correct=(mode == "fast"))
     if mode in ("int8", "int8_fast"):
         got += interp_with(corners(_identity_table(n)), lambda w: w,
                            correct=False)
@@ -634,8 +610,6 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     ref = _sim_passes(_gather_cells(prep.table, p, n), fine_passes,
                       None, correct=False)
 
-    w_q254 = lambda w: np.round(w * 254.0) / 254.0  # noqa: E731
-
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
     rows_c = 3 * m
@@ -655,11 +629,13 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         w_qc = None
         factor_qc = _bf16_factor_quant
     else:
+        # int8 pair with exact post-dot weights (hoisted-dot structure):
+        # the only coarse-term error is the quantized (detrended) table
         sc1 = cp.scale_q1[:rows_c] * 254.0
         sc2 = cp.scale_q2[:rows_c] * 254.0
         c_quant = (cp.lmat_q1[:rows_c].astype(np.float32) * sc1
                    + cp.lmat_q2[:rows_c].astype(np.float32) * sc2)
-        w_qc = w_q254
+        w_qc = None
     c_table = c_quant.reshape(3, m, m, m).transpose(1, 3, 2, 0)
     coarse_passes = []
     ic = None
@@ -680,17 +656,18 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
                            coarse_passes, None, correct=False)
 
-    # term 2: residual at fine resolution, single-plane int8 with truncated
-    # 127-scale weights (the kernel's cheap build path)
+    # term 2: residual at fine resolution, single-plane int8 with exact
+    # post-dot weights (hoisted-dot structure): only the table quantization
+    # of the tiny residual remains (plus any _tri interp substitution via
+    # resid_passes)
     rows_f = 3 * n
     sr = prep.resid_scale[:rows_f] * 127.0
     r_table = (prep.resid_q[:rows_f].astype(np.float32) * sr).reshape(
         3, n, n, n).transpose(1, 3, 2, 0)
     resid_passes = (fine_passes if resid_interp == interp
                     else _np_tap_weights(resid_interp, d))
-    w_trunc127 = lambda w: np.trunc(w * 127.0) / 127.0  # noqa: E731
     got += _sim_passes(_gather_cells(r_table, p, n), resid_passes,
-                       w_trunc127, correct=True)
+                       None, correct=False)
 
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),

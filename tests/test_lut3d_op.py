@@ -235,9 +235,9 @@ def test_coarse2_identity_lut_near_exact():
     np.testing.assert_allclose(np.asarray(bo), b, atol=2e-3)
 
 
-def test_noisy_lut_rejects_coarse2_trilinear_substitution():
-    """A noise LUT's residual carries the noise, so the trilinear
-    substitution gate must reject coarse2_tri and fall to a safe tier."""
+def test_noisy_lut_auto_tier_clears_budget():
+    """A noise LUT is the adversarial case for every reduced tier: whatever
+    auto resolves to must still clear the simulated dE76 budget."""
     rng = np.random.default_rng(12)
     lut = Lut3D.identity(65)
     lut.table = np.clip(
@@ -251,12 +251,13 @@ def test_noisy_lut_rejects_coarse2_trilinear_substitution():
         assert prep.mode_error("tetrahedral", mode) * SIM_MARGIN <= DE76_BUDGET
 
 
-def test_pyramid_never_resolves_to_int8(random_lut, rng):
-    """Pyramid's difference pass has negative weights, which underflow the
-    offset-int8 code range — auto must route pyramid away from int8 tiers,
-    and an explicit int8 request is overridden to exact (still correct)."""
+def test_pyramid_int8_native(random_lut, rng):
+    """Pyramid's difference pass has NEGATIVE weights. The hoisted-dot int8
+    body applies weights as exact f32 post-dot factors, so pyramid runs the
+    int8 tier natively (historically it was structurally excluded: the
+    retired in-dot offset coding round(w*254)-127 underflowed for w < 0)."""
     prep = prepare_lut(random_lut)
-    assert not prep.resolve_precision("pyramid").startswith("int8")
+    assert prep.resolve_precision("pyramid").startswith("int8")
     r, g, b = _rand_rgb_planes(rng, 4, 128)
     ro, go, bo = apply_lut_planes(r, g, b, prep, "pyramid",
                                   precision="int8_fast", interpret=True)

@@ -138,9 +138,14 @@ def test_render_batched(rng):
     np.testing.assert_array_equal(np.asarray(yq[1]), np.asarray(y0))
 
 
-def test_render_dE_vs_float_reference(rng, random_lut):
+def test_render_dE_vs_float_reference(random_lut):
     """End-to-end dE76 on the RGB interpretation of output vs float reference
-    stays under the 0.5 budget for tv-range in-gamut inputs."""
+    stays under the 0.5 budget for tv-range in-gamut inputs.
+
+    Local rng: the max-dE assertion sits near the 8-bit-quantization noise
+    floor, so the input data must not depend on how many tests consumed the
+    shared session rng before this one."""
+    rng = np.random.default_rng(77)
     h, w = 16, 256
     y = rng.integers(40, 220, (h, w), dtype=np.uint8)
     u = rng.integers(110, 146, (h // 2, w // 2), dtype=np.uint8)
