@@ -81,13 +81,14 @@ TOPICS: Dict[str, str] = {
   TPU with max dE76 vs FFmpeg lut3d ~ 1e-4 at exact precision.""",
     "precision": """\
 kernel precision (automatic)
-  The LUT kernel carries several numeric tiers (corrected-bf16 "exact",
-  bf16-single "fast", int8 tiers at the MXU's 2x int8 rate, and a
-  coarse+residual decomposition for 65^3 LUTs). Selection is automatic per
-  LUT: a NumPy replay of each tier's numerics over a dense probe set must
-  clear a 0.4 dE76 budget (contract: < 0.5 vs FFmpeg lut3d), else the next
-  tier is tried, ending at exact. Harsh/noisy LUTs therefore run exact;
-  smooth production LUTs get int8 speed — with no user knob needed.""",
+  The LUT kernel carries several numeric tiers (int8 table pair at the
+  MXU's 2x int8 rate, bf16-pair "exact", bf16-single "fast", and a merged
+  coarse+residual decomposition for 65^3 LUTs). Interpolation weights are
+  exact f32 in every tier (they apply after the dot), so the production
+  int8 tier is itself near-exact (~3e-4 dE76 vs FFmpeg lut3d). Selection
+  is still automatic per LUT: a NumPy replay of each tier's numerics over
+  a dense probe set must clear a 0.4 dE76 budget (contract: < 0.5), else
+  the next tier is tried, ending at exact — no user knob needed.""",
     "input_matrix": """\
 --input-matrix auto|bt709|smpte170m|bt470bg|bt2020nc|none
   YUV->RGB matrix for the LUT input. auto: probe's colorspace when

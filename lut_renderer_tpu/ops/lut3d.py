@@ -22,11 +22,14 @@ the VPU. Exact decomposition per interp mode:
               prev plane; then X-taps (-dX, +dX) with the others one-hot next
   prism       2 passes: triangle over (r, b) split per r tap, linear g
 
-Numerics: corrected-bf16 on the MXU (precision model in _bf16_body's
-docstring) — ~1e-4 absolute vs the f32 colorcore reference, dE76 vs FFmpeg
-lut3d ~1e-4, validated by tests/test_lut3d_op.py + tests/test_oracle_parity.
-precision="fast" halves the matmuls for ~1.3x speed at dE76 <= ~0.46
-worst-case (opt-in).
+Numerics: every tier rides the HOISTED-DOT structure (_int8_quad_body /
+_bf16_quad_body): the W operand is a pass-independent 0/1 one-hot quadrant
+mask, the dots run once per block, and exact f32 weights apply post-dot.
+The production int8 tier is near-exact (table-pair quantization only,
+~rowmax*1.6e-5; dE76 vs FFmpeg lut3d ~3e-4); "exact" (bf16 hi/lo pair,
+~2^-17 table) lands at ~1e-4 dE76 vs lut3d; "fast" (bf16 hi only) at
+2^-9-relative table error. Validated by tests/test_lut3d_op.py +
+tests/test_oracle_parity.
 """
 
 from __future__ import annotations
@@ -41,11 +44,11 @@ import numpy as np
 from .. import colorcore
 from .prepare import PreparedLut
 
-# Block of pixels processed per grid step; sized so the weight tile
-# (N^2, BM) and its build temporaries stay under VMEM (~16 MB/core).
-# Values swept on a v5e chip (experiments/int8_dot_bench.py + BM sweep):
-# N=33 prefers 1024 for every tier; N=65 fits 512 only for single-pass
-# int8 programs and 256 otherwise.
+# Block of pixels processed per grid step; sized so the hoisted one-hot
+# masks (K', BM), the quadrant dot outputs and their temporaries stay under
+# VMEM (~16 MB/core). Values swept on a v5e chip (experiments/
+# int8_dot_bench.py + hoisted_block_sweep.py): N=33 sits at 1024 (2048 for
+# 1-pass int8) within noise of best; N>=49 shrinks blocks.
 def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 33:
         # single-pass int8 programs have VMEM headroom for a double block
@@ -430,9 +433,9 @@ def _fused_kernel_resid2(n_fine: int, n_resid: int,
                                          widths, idx, wall, lq_ref, s_ref))
 
 
-def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
+def _fused_kernel_coarse(n: int, m: int, interp: str,
                          coarse_mode: str, widths, dmin, dmax,
-                         rgb_ref, la_ref, lb_ref, s_ref, out_ref):
+                         rgb_ref, la_ref, s_ref, out_ref):
     """Fused coarse term of the coarse decomposition: FINE coordinates and
     pass weights computed in-kernel at grid n, then remapped per axis down
     to grid m — one halving per level, so m = 33 is the coarse2 term and
@@ -447,9 +450,9 @@ def _fused_kernel_coarse(n: int, m: int, ones_row: int, interp: str,
                                             widths, idxc, wallc, la_ref,
                                             s_ref))
     else:
-        _write_out(out_ref, _bf16_body(m, ones_row, n_passes,
-                                       coarse_mode == "exact", m <= 33,
-                                       idxc, wallc, la_ref, lb_ref))
+        _write_out(out_ref, _bf16_quad_body(m, n_passes,
+                                            coarse_mode == "exact", widths,
+                                            idxc, wallc, la_ref))
 
 
 def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
@@ -486,9 +489,8 @@ def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
     return acc
 
 
-def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
-                       fuse: bool, dmin, dmax, rgb_ref, lhi_ref, llo_ref,
-                       out_ref):
+def _fused_kernel_bf16(n: int, interp: str, exact: bool,
+                       widths, dmin, dmax, rgb_ref, l_ref, out_ref):
     """Fused-taps bf16 kernel (see _fused_kernel_int8)."""
     rgb = rgb_ref[:]
     bm = rgb.shape[1]
@@ -498,87 +500,42 @@ def _fused_kernel_bf16(n: int, ones_row: int, interp: str, exact: bool,
     idx = jnp.concatenate([pr, pg, pb], axis=0)
     passes = _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n)
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
-    _write_out(out_ref, _bf16_body(n, ones_row, len(passes), exact, fuse,
-                                   idx, wall, lhi_ref, llo_ref))
+    _write_out(out_ref, _bf16_quad_body(n, len(passes), exact, widths,
+                                        idx, wall, l_ref))
 
 
-def _bf16_body(n, ones_row, n_passes, exact, fuse, idx, wall,
-               lhi_ref, llo_ref, acc=None):
-    """Shared bf16 contraction body. exact: the LUT is split into exact
-    hi+lo bf16 halves (stacked into one dot when `fuse`), and the all-ones
-    LUT row returns each pixel's ACTUAL weight sum so rescaling by
-    true/measured cancels common-mode bf16 weight rounding — residual error
-    ~2^-9 * cell-local LUT spread (~1e-4 on real LUTs). Mosaic constraints:
-    no 16-bit iota/compares; i1-from-i32 masks cannot feed bf16 selects;
-    broadcast+reshape outer products hide a relayout (pltpu.repeat + iota
-    range-compares instead)."""
-    from jax.experimental.pallas import tpu as pltpu
-
+def _bf16_quad_body(n, n_passes, exact, widths, idx, wall, l_ref, acc=None):
+    """Hoisted-dot bf16 body: the stacked [hi; lo] bf16 pair (exact=True —
+    hi + lo reconstructs the table to ~2^-17) or the hi half alone
+    (exact=False, "fast": table error 2^-9-relative) in the quad_permute
+    column layout. Identical structure to _int8_quad_body: the W operand is
+    the hoisted 0/1 one-hot mask per quadrant (i1 masks cannot select bf16
+    directly on Mosaic — route f32 select -> bf16 convert), the four dots
+    accumulate in f32 and run ONCE per block, and the exact f32 corner
+    weights fold into the r-tap vector post-dot. With exact weights the
+    historical corrected-bf16 machinery (ones-row readback, sum rescale) is
+    unnecessary and gone: "exact" total error is ~1e-7 absolute."""
     bm = idx.shape[1]
-    rows = lhi_ref.shape[0]
+    rows_l = l_ref.shape[0]
+    half = rows_l // 2 if exact else rows_l
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (n * n, bm), 0)
-
-    # b-axis one-hot masks, shared across passes (f32: i1-from-i32 masks
-    # cannot select bf16 without an invalid relayout)
-    pk = idx[2:3, :]
-    nk = jnp.minimum(pk + 1, n - 1)
-    maskp = jnp.where((t_iota >= pk * n) & (t_iota < pk * n + n), 1.0, 0.0)
-    maskn = jnp.where((t_iota >= nk * n) & (t_iota < nk * n + n), 1.0, 0.0)
-
-    ws, rvs, sums = [], [], []
-    for ps in range(n_passes):
-        wts = wall[6 * ps:6 * ps + 6, :]
-
-        def tap(axis):
-            p = idx[axis:axis + 1, :]
-            nx = jnp.minimum(p + 1, n - 1)
-            wp = wts[2 * axis:2 * axis + 1, :]
-            wn = wts[2 * axis + 1:2 * axis + 2, :]
-            return jnp.where(iota == p, wp, 0.0) + jnp.where(iota == nx, wn, 0.0)
-
-        rvs.append(tap(0))              # f32 r-axis taps
-        gv16 = tap(1).astype(jnp.bfloat16)
-        a = pltpu.repeat(gv16, n, axis=0)        # tile: row t -> gv[t % N]
-        b32 = maskp * wts[4:5, :] + maskn * wts[5:6, :]
-        ws.append(a * b32.astype(jnp.bfloat16))  # (N^2, BM) bf16
-        # (building the b-factor at bf16 width via pre-cast masks measured
-        # SLOWER: 73 vs 62 ms/4K tetra — the f32 selects win)
-        sums.append((wts[2:3, :] + wts[3:4, :]) * (wts[4:5, :] + wts[5:6, :]))
-
-    ts = []
-    if fuse:
-        # lhi_ref here is the stacked [hi; lo] matrix (2*ROWS, N^2): one dot
-        # per pass computes both LUT halves together (concatenating the pass
-        # weight matrices instead costs a 4.5 MB VMEM copy per tile — 6 ms
-        # per 4K frame, measured)
-        half = rows // 2 if exact else rows
-        for ps in range(n_passes):
-            seg = jnp.dot(lhi_ref[:], ws[ps], preferred_element_type=jnp.float32)
-            ts.append(seg[:half, :] + seg[half:, :] if exact else seg)
-    else:
-        lhi = lhi_ref[:]
-        llo = llo_ref[:]
-        for ps in range(n_passes):
-            t = jnp.dot(lhi, ws[ps], preferred_element_type=jnp.float32)
-            if exact:
-                t = t + jnp.dot(llo, ws[ps], preferred_element_type=jnp.float32)
-            ts.append(t)
+    offs, masks, par_b, par_g = _quad_setup(n, widths, idx, bm)
+    rvs, scals = _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g,
+                                    iota)
 
     if acc is None:
         acc = [None, None, None]
-    for ps in range(n_passes):
-        t = ts[ps]
-        meas = t[ones_row:ones_row + 1, :]
-        # Correction only applies to passes whose (g,b) weight sum is
-        # substantial: zero-sum passes (pyramid's difference pass, where
-        # weights are (-dX, +dX)) and tiny sums (tetrahedral with dmid -> 0)
-        # must pass through uncorrected — their bf16 rounding error is
-        # proportionally tiny.
-        scale = jnp.where(jnp.abs(meas) > 0.01, sums[ps] / meas, 1.0)
+    for q in range(4):
+        m16 = jnp.where(masks[q], 1.0, 0.0).astype(jnp.bfloat16)
+        d = jnp.dot(l_ref[:, offs[q]:offs[q] + widths[q]], m16,
+                    preferred_element_type=jnp.float32)
+        e = d[:half, :] + d[half:, :] if exact else d
+        rw = None
+        for ps in range(n_passes):
+            t = rvs[ps] * scals[ps][q]
+            rw = t if rw is None else rw + t
         for c in range(3):
-            seg = t[c * n:(c + 1) * n, :]
-            contrib = jnp.sum(seg * rvs[ps], axis=0) * scale[0, :]
+            contrib = jnp.sum(e[c * n:(c + 1) * n, :] * rw, axis=0)
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     return acc
 
@@ -595,12 +552,12 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
                interpret: bool) -> jnp.ndarray:
     """Fused-taps launch: (3, P) f32 RGB in, coordinates/weights computed
     inside the kernel (3 HBM rows/pixel instead of 15 + no XLA tap cluster).
-    Covers the exact/fast/int8 tiers; coarse2 keeps the split launcher."""
+    Covers the exact/fast/int8 tiers; coarse2 launches the MERGED
+    coarse+residual kernel (_run_coarse2_fused)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows_pad = prep.rows_pad
-    nsq = n * n
     npix = rgb3.shape[1]
     n_passes = 1 if interp in ("nearest", "trilinear") else 2
     bm = _block_pixels(n, mode, n_passes)
@@ -637,36 +594,25 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
         return out[:3]
 
     exact = mode != "fast"
-    fuse = n <= 33
-    if fuse:
-        lmat_a = jnp.asarray(
-            np.concatenate([prep.lmat_hi, prep.lmat_lo], axis=0)
-            if exact else prep.lmat_hi,
-            jnp.bfloat16,
-        )
-        lmat_b = jnp.zeros((8, nsq), jnp.bfloat16)  # unused placeholder
-        a_rows = 2 * rows_pad if exact else rows_pad
-    else:
-        lmat_a = jnp.asarray(prep.lmat_hi, jnp.bfloat16)
-        lmat_b = jnp.asarray(prep.lmat_lo, jnp.bfloat16)
-        a_rows = rows_pad
-    kernel = functools.partial(_fused_kernel_bf16, n, prep.ones_row,
-                               interp, exact, fuse, dmin, dmax)
+    lmat_a = jnp.asarray(
+        prep.lmat_bf_qp if exact else prep.lmat_bf_qp[:rows_pad],
+        jnp.bfloat16)
+    a_rows = 2 * rows_pad if exact else rows_pad
+    kernel = functools.partial(_fused_kernel_bf16, n,
+                               interp, exact, prep.quad_widths, dmin, dmax)
     out = pl.pallas_call(
         kernel,
         grid=(npix // bm,),
         in_specs=[
             pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_rows, nsq), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(lmat_b.shape, lambda i: (0, 0),
+            pl.BlockSpec((a_rows, lmat_a.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(rgb3, lmat_a, lmat_b)
+    )(rgb3, lmat_a)
     return out[:3]
 
 
@@ -716,7 +662,6 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
 
     npix = rgb3.shape[1]
     m = cp.size
-    msq = m * m
     rows_m = cp.rows_pad
     # capped at the coarse padding granularity (apply_lut_planes pads 1024)
     bmc = min(1024, _block_pixels(m, coarse_mode,
@@ -725,24 +670,18 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
     assert npix % bmc == 0
     if coarse_mode == "int8_fast":
         la = jnp.asarray(cp.lmat_qp, jnp.int8)
-        ka = la.shape[1]
-        lb = jnp.zeros((8, msq), jnp.bfloat16)   # unused placeholder
         sv = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
         a_rows = 2 * rows_m
     elif coarse_mode == "fast":
-        la = jnp.asarray(cp.lmat_hi, jnp.bfloat16)   # hi only: half the dot
-        ka = msq
-        lb = jnp.zeros((8, msq), jnp.bfloat16)
+        la = jnp.asarray(cp.lmat_bf_qp[:rows_m], jnp.bfloat16)  # hi only
         sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
         a_rows = rows_m
     else:
-        la = jnp.asarray(
-            np.concatenate([cp.lmat_hi, cp.lmat_lo], axis=0), jnp.bfloat16)
-        ka = msq
-        lb = jnp.zeros((8, msq), jnp.bfloat16)
+        la = jnp.asarray(cp.lmat_bf_qp, jnp.bfloat16)
         sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
         a_rows = 2 * rows_m
-    kernel = functools.partial(_fused_kernel_coarse, n_fine, m, cp.ones_row,
+    ka = la.shape[1]
+    kernel = functools.partial(_fused_kernel_coarse, n_fine, m,
                                interp, coarse_mode, cp.quad_widths,
                                dmin, dmax)
     return pl.pallas_call(
@@ -752,8 +691,6 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
             pl.BlockSpec((3, bmc), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((a_rows, ka), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(lb.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(sv.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -761,7 +698,7 @@ def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(rgb3, la, lb, sv)
+    )(rgb3, la, sv)
 
 
 def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
@@ -793,36 +730,29 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
 
     cp = prep.coarse
     m = cp.size
-    msq = m * m
     rows_f = prep.rows_pad
     rows_m = cp.rows_pad
     lr = jnp.asarray(prep.resid_qp, jnp.int8)
     sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
     if coarse_mode == "int8_fast":
         lc = jnp.asarray(cp.lmat_qp, jnp.int8)
-        lcb = jnp.zeros((8, 128), jnp.bfloat16)     # unused placeholder
         sc = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
         c_rows = 2 * rows_m
-        kc = lc.shape[1]
     elif coarse_mode == "fast":
-        lc = jnp.asarray(cp.lmat_hi, jnp.bfloat16)  # hi only: half the dot
-        lcb = jnp.zeros((8, msq), jnp.bfloat16)
+        lc = jnp.asarray(cp.lmat_bf_qp[:rows_m], jnp.bfloat16)  # hi only
         sc = jnp.zeros((8, 1), jnp.float32)
         c_rows = rows_m
-        kc = msq
     else:
-        lc = jnp.asarray(
-            np.concatenate([cp.lmat_hi, cp.lmat_lo], axis=0), jnp.bfloat16)
-        lcb = jnp.zeros((8, msq), jnp.bfloat16)
+        lc = jnp.asarray(cp.lmat_bf_qp, jnp.bfloat16)
         sc = jnp.zeros((8, 1), jnp.float32)
         c_rows = 2 * rows_m
-        kc = msq
+    kc = lc.shape[1]
 
     npix = rgb3.shape[1]
     bm = 1024
     assert npix % bm == 0
     kernel = functools.partial(
-        _fused_kernel_coarse2, n, m, cp.ones_row, interp,
+        _fused_kernel_coarse2, n, m, interp,
         resid_interp, coarse_mode, prep.resid_quad_widths, cp.quad_widths,
         dmin, dmax)
     out = pl.pallas_call(
@@ -836,8 +766,6 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_rows, kc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(lcb.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(sc.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -845,13 +773,13 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
         interpret=interpret,
-    )(rgb3, lr, sr, lc, lcb, sc)
+    )(rgb3, lr, sr, lc, sc)
     return out[:3]
 
 
-def _fused_kernel_coarse2(n, m, ones_row_c, interp, resid_interp,
+def _fused_kernel_coarse2(n, m, interp, resid_interp,
                           coarse_mode, rwidths, cwidths, dmin, dmax,
-                          rgb_ref, lr_ref, sr_ref, lc_ref, lcb_ref, sc_ref,
+                          rgb_ref, lr_ref, sr_ref, lc_ref, sc_ref,
                           out_ref):
     """MERGED coarse+residual kernel: both terms of the decomposition in one
     pallas_call, sharing the block's coordinate math (CSE) and accumulating
@@ -869,8 +797,8 @@ def _fused_kernel_coarse2(n, m, ones_row_c, interp, resid_interp,
         acc = _int8_quad_body(m, np_c, cwidths, idxc,
                               wallc, lc_ref, sc_ref, acc)
     else:
-        acc = _bf16_body(m, ones_row_c, np_c, coarse_mode == "exact",
-                         m <= 33, idxc, wallc, lc_ref, lcb_ref, acc)
+        acc = _bf16_quad_body(m, np_c, coarse_mode == "exact", cwidths,
+                              idxc, wallc, lc_ref, acc)
     _write_out(out_ref, acc)
 
 

@@ -61,6 +61,12 @@ class PreparedLut:
     # f32 weights apply post-dot (lut3d._int8_quad_body): the quadrant dots
     # are pass-independent and run once per block.
     lmat_qp: np.ndarray     # (2*rows_pad, K') int8, K' = sum(quad_widths)
+    # Stacked [hi; lo] bf16 pair in the same quadrant layout: the bf16 tiers
+    # ride the identical hoisted-dot structure (bf16 0/1 masks, f32
+    # accumulation). hi + lo reconstructs the table to ~2^-17, and with
+    # exact post-dot weights the "exact" tier's total error is ~1e-7 — no
+    # sum-correction machinery needed.
+    lmat_bf_qp: np.ndarray  # (2*rows_pad, K') bfloat16
     quad_widths: Tuple[int, int, int, int]  # (ee, eo, oe, oo) padded widths
     scale_q1: np.ndarray    # (rows_pad, 1) f32, includes the 1/254 weight norm
     scale_q2: np.ndarray    # (rows_pad, 1) f32
@@ -291,6 +297,8 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
                                       rows)
     qp, quad_widths = quad_permute(
         np.concatenate([q1, q2], axis=0).astype(np.int8), n)
+    bf_qp, _ = quad_permute(
+        np.concatenate([hi, lo], axis=0).astype(ml_dtypes.bfloat16), n)
 
     coarse = resid_q = resid_scale = resid_bias = None
     resid_qp = resid_quad_widths = None
@@ -314,6 +322,7 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         lmat_q1=q1,
         lmat_q2=q2,
         lmat_qp=qp,
+        lmat_bf_qp=bf_qp,
         quad_widths=quad_widths,
         scale_q1=s1,
         scale_q2=s2,
@@ -451,14 +460,16 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
 
     if mode == "fast":
         t_hi = prep.lmat_hi.astype(np.float32)
-        # reconstruct the quantized cell values from the bf16 matrix
+        # reconstruct the quantized cell values from the bf16 matrix; the
+        # hoisted-dot body uses exact post-dot weights, so the hi-only
+        # table is the only error source
         def quant_cell():
             qt = np.zeros_like(table)
             rows = 3 * n
             qt_flat = t_hi[:rows].reshape(3, n, n, n)  # (c, r, k, j)
             return qt_flat.transpose(1, 3, 2, 0)  # (r, j, k, c)
         qcell = corners(quant_cell())
-        w_quant = None  # factor-wise bf16 handled below
+        w_quant = lambda w: w  # noqa: E731
     elif mode in ("int8", "int8_fast"):
         rows = 3 * n
         s1 = prep.scale_q1[:rows] * 254.0   # (rows, 1), undo the /254 fold
@@ -478,17 +489,8 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     def interp_with(cellv, weight_fn, correct: bool):
         acc = np.zeros((len(pts), 3), np.float64)
         for taps in passes:  # taps: (P, 3, 2)
-            # (g, b) outer product quantized as the kernel's weight tile;
-            # the r taps stay f32 (VPU side)
-            if weight_fn is None:  # "fast": bf16 factors, bf16 product
-                gq = ml_dtypes.bfloat16(taps[:, 1, :]).astype(np.float32)
-                bq = ml_dtypes.bfloat16(taps[:, 2, :]).astype(np.float32)
-                gbq = ml_dtypes.bfloat16(
-                    gq[:, :, None] * bq[:, None, :]
-                ).astype(np.float32)
-            else:
-                gb = taps[:, 1, :, None] * taps[:, 2, None, :]  # (P, 2, 2)
-                gbq = weight_fn(gb)
+            gb = taps[:, 1, :, None] * taps[:, 2, None, :]  # (P, 2, 2)
+            gbq = weight_fn(gb)
             true_sum = (taps[:, 1].sum(1) * taps[:, 2].sum(1))
             meas = gbq.sum((1, 2))
             scale = np.where(np.abs(meas) > 0.01, true_sum / np.where(
@@ -502,7 +504,7 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
         return acc
 
     ref = interp_with(cell, lambda w: w, correct=False)
-    got = interp_with(qcell, w_quant, correct=(mode == "fast"))
+    got = interp_with(qcell, w_quant, correct=False)
     if mode in ("int8", "int8_fast"):
         got += interp_with(corners(_identity_table(n)), lambda w: w,
                            correct=False)
@@ -555,16 +557,6 @@ def _gather_cells(table: np.ndarray, p: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _bf16_factor_quant(taps):
-    """The bf16 kernel's weight-tile numerics: g taps cast bf16, multiplied
-    by the f32 b-factor, product cast bf16 (lut3d._bf16_body)."""
-    import ml_dtypes
-
-    gq = taps[:, 1, :].astype(ml_dtypes.bfloat16).astype(np.float32)
-    return (gq[:, :, None] * taps[:, 2, None, :]).astype(
-        ml_dtypes.bfloat16).astype(np.float32)
-
-
 def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool,
                 factor_quant=None):
     acc = np.zeros((cells.shape[0], 3), np.float64)
@@ -613,21 +605,16 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
     rows_c = 3 * m
-    factor_qc = None
     if coarse_mode == "exact":
-        # bf16 hi/lo pair reconstructs the table to ~2^-17 and the exact
-        # tier's corrected-bf16 weight error lands around 1e-2 dE76 — model
-        # the coarse term as the reconstructed table with exact weights (the
-        # SIM_MARGIN gate absorbs the small unmodeled remainder)
+        # bf16 hi/lo pair reconstructs the table to ~2^-17; weights are
+        # exact post-dot — the coarse term is essentially error-free
         c_quant = (cp.lmat_hi[:rows_c].astype(np.float32)
                    + cp.lmat_lo[:rows_c].astype(np.float32))
         w_qc = None
     elif coarse_mode == "fast":
-        # bf16-hi-only table (2^-9-relative) with the kernel's factor-wise
-        # bf16 weight tile and the sum correction
+        # bf16-hi-only table (2^-9-relative); weights exact post-dot
         c_quant = cp.lmat_hi[:rows_c].astype(np.float32)
         w_qc = None
-        factor_qc = _bf16_factor_quant
     else:
         # int8 pair with exact post-dot weights (hoisted-dot structure):
         # the only coarse-term error is the quantized (detrended) table
@@ -648,9 +635,7 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
             )
         coarse_passes.append(ct)
     got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes,
-                      w_qc, correct=(w_qc is not None
-                                     or factor_qc is not None),
-                      factor_quant=factor_qc)
+                      w_qc, correct=False)
     if coarse_mode == "int8_fast":
         # detrended int8 planes: identity term added from exact weights
         got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
