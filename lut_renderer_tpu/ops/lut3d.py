@@ -54,14 +54,15 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         # single-pass int8 programs have VMEM headroom for a double block
         # (trilinear int8: 28.4 -> 23.9 ms/4K measured); 2-pass and bf16
         # programs spill above 1024
-        if mode in ("int8", "int8_fast") and n_passes == 1:
+        if mode in ("int8", "int8_fast", "int8_lite") and n_passes == 1:
             return 2048
         return 1024
     if n <= 49:
         return 512
     if mode == "int8_resid2":
         return 1024  # parity-halved tiles leave VMEM headroom (swept)
-    if mode in ("int8", "int8_fast", "int8_resid") and n_passes == 1:
+    if mode in ("int8", "int8_fast", "int8_lite", "int8_resid") \
+            and n_passes == 1:
         return 512
     return 256
 
@@ -205,7 +206,7 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 # Pallas kernel: one factorized pass
 # ---------------------------------------------------------------------------
 
-def _fused_kernel_int8(n: int, interp: str,
+def _fused_kernel_int8(n: int, interp: str, pair: bool,
                        widths, dmin, dmax, rgb_ref, lq_ref, s_ref,
                        out_ref):
     """Fused-taps int8 kernel: raw RGB f32 rows in, coordinates and per-pass
@@ -222,7 +223,8 @@ def _fused_kernel_int8(n: int, interp: str,
     # each pass stacks (1, BM) rows -> (6, 1, BM); flatten the unit axis
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
     _write_out(out_ref, _int8_quad_body(n, len(passes),
-                                        widths, idx, wall, lq_ref, s_ref))
+                                        widths, idx, wall, lq_ref, s_ref,
+                                        pair=pair))
 
 
 def _parity_split(p, n):
@@ -306,7 +308,8 @@ def _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g, iota):
     return rvs, scals
 
 
-def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref, acc=None):
+def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref,
+                    acc=None, pair=True):
     """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
     in prepare.quad_permute column layout — the K axis split into four
     (b even/odd x g even/odd) blocks, so within each block every pixel is
@@ -327,15 +330,19 @@ def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref, acc=None):
     ident_c = S1_c * prod(S0_other) with S0 = wp + wn, S1 = (wp*p + wn*nx)
     / (n-1) — and is added EXACTLY from (1, BM) f32 scalars.
 
-    s_ref rows: [s1_unfolded; s2_unfolded] per-row dequant scales."""
+    pair=False ("int8_lite"): the q1 plane alone — half the dot, table
+    error <= detrended-rowmax/254 (vs *1.6e-5 for the pair), gated per LUT.
+
+    s_ref rows: [s1_unfolded; s2_unfolded] (pair) or [s1_unfolded] (lite)
+    per-row dequant scales."""
     bm = idx.shape[1]
-    half = lq_ref.shape[0] // 2
+    half = lq_ref.shape[0] // 2 if pair else lq_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, bm), 0)
     offs, masks, par_b, par_g = _quad_setup(n, widths, idx, bm)
     rvs, scals = _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g,
                                     iota)
     s1 = s_ref[:half, :]                # (half, 1) f32 per-row dequant
-    s2 = s_ref[half:, :]
+    s2 = s_ref[half:, :] if pair else None
 
     if acc is None:
         acc = [None, None, None]
@@ -344,7 +351,8 @@ def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref, acc=None):
         d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
                     preferred_element_type=jnp.int32)
         df = d.astype(jnp.float32)
-        e = df[:half, :] * s1 + df[half:, :] * s2   # dequantized corner cols
+        e = (df[:half, :] * s1 + df[half:, :] * s2 if pair
+             else df * s1)                          # dequantized corner cols
         rw = None                       # combined r-tap x quadrant weight
         for ps in range(n_passes):
             t = rvs[ps] * scals[ps][q]
@@ -353,7 +361,18 @@ def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref, acc=None):
             contrib = jnp.sum(e[c * n:(c + 1) * n, :] * rw, axis=0)
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
 
-    # analytic identity term (exact f32 weights), one per pass
+    return _ident_acc(n, n_passes, idx, wall, acc)
+
+
+def _ident_acc(n, n_passes, idx, wall, acc):
+    """Add the analytic identity term (exact f32 weights), one per pass.
+    The quantized table planes store the identity-DETRENDED LUT
+    (prepare._identity_lmat); the identity part is separable in the compact
+    tap weights — ident_c = S1_c * prod(S0_other) with S0 = wp + wn,
+    S1 = (wp*p + wn*nx) / (n-1) — and is exact for every interp (the
+    per-axis weights are what define the interpolation). Works unchanged
+    under the coarse tap remap: the remap is exact for per-axis-linear
+    functions, and the identity is one."""
     inv = 1.0 / (n - 1)
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
@@ -514,7 +533,13 @@ def _bf16_quad_body(n, n_passes, exact, widths, idx, wall, l_ref, acc=None):
     accumulate in f32 and run ONCE per block, and the exact f32 corner
     weights fold into the r-tap vector post-dot. With exact weights the
     historical corrected-bf16 machinery (ones-row readback, sum rescale) is
-    unnecessary and gone: "exact" total error is ~1e-7 absolute."""
+    unnecessary and gone: "exact" total error is ~1e-6 absolute.
+
+    Like the int8 planes, the stored pair is the identity-DETRENDED table
+    (+ analytic in-kernel identity term): bf16's error is RELATIVE, so
+    detrending turns "fast"'s 2^-9 of the table VALUE into 2^-9 of the
+    cell-local grading delta — ~1e-4 absolute on production LUTs, gated
+    per LUT like every reduced tier."""
     bm = idx.shape[1]
     rows_l = l_ref.shape[0]
     half = rows_l // 2 if exact else rows_l
@@ -537,7 +562,7 @@ def _bf16_quad_body(n, n_passes, exact, widths, idx, wall, l_ref, acc=None):
         for c in range(3):
             contrib = jnp.sum(e[c * n:(c + 1) * n, :] * rw, axis=0)
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
-    return acc
+    return _ident_acc(n, n_passes, idx, wall, acc)
 
 
 def _unfolded_pair_scales(prep) -> np.ndarray:
@@ -565,15 +590,24 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     dmin = tuple(float(v) for v in prep.domain_min)
     dmax = tuple(float(v) for v in prep.domain_max)
 
-    if mode in ("int8", "int8_fast"):
+    if mode in ("int8", "int8_fast", "int8_lite"):
         # "int8" (the historical weight-pair tier) is an alias of
         # "int8_fast" since the hoisted-dot restructure: weights are exact
-        # f32 post-dot factors in both, so the tiers coincide.
-        lq = jnp.asarray(prep.lmat_qp, jnp.int8)
+        # f32 post-dot factors in both, so the tiers coincide. "int8_lite"
+        # is the q1 plane alone: half the dot at detrended-rowmax/254
+        # table error, per-LUT gated.
+        pair = mode != "int8_lite"
+        if pair:
+            lq = jnp.asarray(prep.lmat_qp, jnp.int8)
+            sv = jnp.asarray(_unfolded_pair_scales(prep), jnp.float32)
+            l_rows = 2 * rows_pad
+        else:
+            lq = jnp.asarray(prep.lmat_qp[:rows_pad], jnp.int8)
+            sv = jnp.asarray(prep.scale_q1 * 254.0, jnp.float32)
+            l_rows = rows_pad
         ktot = lq.shape[1]
-        sv = jnp.asarray(_unfolded_pair_scales(prep), jnp.float32)
         kernel = functools.partial(_fused_kernel_int8, n,
-                                   interp, prep.quad_widths,
+                                   interp, pair, prep.quad_widths,
                                    dmin, dmax)
         out = pl.pallas_call(
             kernel,
@@ -581,9 +615,9 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
             in_specs=[
                 pl.BlockSpec((3, bm), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * rows_pad, ktot), lambda i: (0, 0),
+                pl.BlockSpec((l_rows, ktot), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * rows_pad, 1), lambda i: (0, 0),
+                pl.BlockSpec((l_rows, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),

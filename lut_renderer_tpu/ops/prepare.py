@@ -128,25 +128,32 @@ class PreparedLut:
         "auto" walks the tiers in measured-cost order and picks the first
         whose simulated per-LUT error clears the budget. Since the
         hoisted-dot restructure the int8 tiers carry NO weight quantization
-        (weights are exact f32 post-dot factors), so int8_fast is near-exact
-        (table pair error ~rowmax*1.6e-5) and gates in for essentially every
-        LUT, any interp — including pyramid's negative weights. "int8" is a
-        kept alias of "int8_fast"; the "_tri" residual-substitution tiers
-        remain accepted but have no speed advantage anymore and left the
-        ladder."""
+        (weights are exact f32 post-dot factors): "int8_lite" is the q1
+        plane alone (half the dot; table error detrended-rowmax/254 —
+        gates in for typical grading LUTs), "int8_fast" adds the q2
+        refinement plane (near-exact, ~rowmax*1.6e-5; gates in for
+        essentially every LUT, any interp — including pyramid's negative
+        weights). "int8" is a kept alias of "int8_fast"; the "_tri"
+        residual-substitution tiers remain accepted but have no speed
+        advantage anymore and left the ladder."""
         if requested != "auto":
             return requested
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
-        ladder = ["int8_fast", "fast"]
+        # measured 4K cost order on v5e (ms, 33^3 tetra): fast 15.6 <
+        # int8_lite 22.2 < int8_fast 24.2 < exact 32.3. All tables are
+        # identity-detrended, so "fast" (bf16 hi only) errs at 2^-9 of the
+        # grading DELTA — on typical LUTs it is both the fastest and
+        # accurate, and the ladder tries it first.
+        ladder = ["fast", "int8_lite", "int8_fast"]
         if self.coarse is not None:
-            # Coarse-term numerics: "" = int8 pair, "f" = bf16-hi-only,
-            # "x" = exact bf16 pair. Residual terms are near-exact by
-            # construction; all tiers share the hoisted-dot structure, so
-            # pass count no longer multiplies the MXU time.
-            ladder = ["coarse2", "coarse2f", "coarse2x", "int8_fast",
-                      "fast"]
+            # Coarse-term numerics: "f" = detrended bf16-hi, "" = int8
+            # pair, "x" = detrended bf16 pair. Residual terms are
+            # near-exact by construction; all tiers share the hoisted-dot
+            # structure, so pass count no longer multiplies the MXU time.
+            ladder = ["coarse2f", "coarse2", "coarse2x", "fast",
+                      "int8_lite", "int8_fast"]
         choice = "exact"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
@@ -292,13 +299,17 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
     lmat[rows] = 1.0
     hi = lmat.astype(ml_dtypes.bfloat16)
     lo = (lmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    # int8 planes quantize the identity-DETRENDED matrix (see _identity_lmat)
-    q1, q2, s1, s2, bias = _int8_pair(lmat - _identity_lmat(n, rows_pad),
-                                      rows)
+    # the quantized planes (int8 AND bf16) hold the identity-DETRENDED
+    # matrix (see _identity_lmat); bf16 error is relative, so detrending
+    # shrinks "fast"'s absolute error to 2^-9 of the grading delta
+    detr = lmat - _identity_lmat(n, rows_pad)
+    q1, q2, s1, s2, bias = _int8_pair(detr, rows)
     qp, quad_widths = quad_permute(
         np.concatenate([q1, q2], axis=0).astype(np.int8), n)
+    hi_d = detr.astype(ml_dtypes.bfloat16)
+    lo_d = (detr - hi_d.astype(np.float32)).astype(ml_dtypes.bfloat16)
     bf_qp, _ = quad_permute(
-        np.concatenate([hi, lo], axis=0).astype(ml_dtypes.bfloat16), n)
+        np.concatenate([hi_d, lo_d], axis=0).astype(ml_dtypes.bfloat16), n)
 
     coarse = resid_q = resid_scale = resid_bias = None
     resid_qp = resid_quad_widths = None
@@ -459,26 +470,26 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     cell = corners(table)
 
     if mode == "fast":
-        t_hi = prep.lmat_hi.astype(np.float32)
-        # reconstruct the quantized cell values from the bf16 matrix; the
-        # hoisted-dot body uses exact post-dot weights, so the hi-only
-        # table is the only error source
-        def quant_cell():
-            qt = np.zeros_like(table)
-            rows = 3 * n
-            qt_flat = t_hi[:rows].reshape(3, n, n, n)  # (c, r, k, j)
-            return qt_flat.transpose(1, 3, 2, 0)  # (r, j, k, c)
-        qcell = corners(quant_cell())
+        import ml_dtypes as _mld
+        rows = 3 * n
+        # the kernel's "fast" table is the bf16-rounded DETRENDED matrix
+        # (identity added back exactly in-kernel); reconstruct likewise
+        detr = prep.lmat[:rows] - _identity_lmat(n, prep.rows_pad)[:rows]
+        t_hi = detr.astype(_mld.bfloat16).astype(np.float32)
+        qt_flat = t_hi.reshape(3, n, n, n)  # (c, r, k, j)
+        qcell = corners(qt_flat.transpose(1, 3, 2, 0))  # (r, j, k, c)
         w_quant = lambda w: w  # noqa: E731
-    elif mode in ("int8", "int8_fast"):
+    elif mode in ("int8", "int8_fast", "int8_lite"):
         rows = 3 * n
         s1 = prep.scale_q1[:rows] * 254.0   # (rows, 1), undo the /254 fold
         s2 = prep.scale_q2[:rows] * 254.0
         # the int8 planes hold the identity-DETRENDED table; the kernel adds
-        # the identity term from exact f32 weights, outside the correction —
-        # modelled below by interpolating the identity cells uncorrected
-        qt_flat = (prep.lmat_q1[:rows].astype(np.float32) * s1
-                   + prep.lmat_q2[:rows].astype(np.float32) * s2)
+        # the identity term from exact f32 weights — modelled below by
+        # interpolating the identity cells separately. "int8_lite" drops
+        # the q2 refinement plane (half the dot, rowmax/254 table error).
+        qt_flat = prep.lmat_q1[:rows].astype(np.float32) * s1
+        if mode != "int8_lite":
+            qt_flat = qt_flat + prep.lmat_q2[:rows].astype(np.float32) * s2
         qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
         # hoisted-dot structure: the (g,b) corner weights are exact f32
         # post-dot factors — no weight quantization, no sum correction
@@ -505,9 +516,10 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
 
     ref = interp_with(cell, lambda w: w, correct=False)
     got = interp_with(qcell, w_quant, correct=False)
-    if mode in ("int8", "int8_fast"):
-        got += interp_with(corners(_identity_table(n)), lambda w: w,
-                           correct=False)
+    # every reduced tier stores the detrended table; add the exact
+    # in-kernel identity term
+    got += interp_with(corners(_identity_table(n)), lambda w: w,
+                       correct=False)
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),
         np.clip(got, 0, 1).astype(np.float32),
@@ -605,15 +617,20 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
     rows_c = 3 * m
+    import ml_dtypes as _mld
+    detr_c = cp.lmat[:rows_c] - _identity_lmat(m, cp.rows_pad)[:rows_c]
     if coarse_mode == "exact":
-        # bf16 hi/lo pair reconstructs the table to ~2^-17; weights are
-        # exact post-dot — the coarse term is essentially error-free
-        c_quant = (cp.lmat_hi[:rows_c].astype(np.float32)
-                   + cp.lmat_lo[:rows_c].astype(np.float32))
+        # detrended bf16 hi/lo pair (~2^-17) + exact in-kernel identity;
+        # weights exact post-dot — the coarse term is essentially
+        # error-free
+        hi_d = detr_c.astype(_mld.bfloat16).astype(np.float32)
+        lo_d = (detr_c - hi_d).astype(_mld.bfloat16).astype(np.float32)
+        c_quant = hi_d + lo_d
         w_qc = None
     elif coarse_mode == "fast":
-        # bf16-hi-only table (2^-9-relative); weights exact post-dot
-        c_quant = cp.lmat_hi[:rows_c].astype(np.float32)
+        # detrended bf16-hi-only (2^-9 of the grading delta); weights
+        # exact post-dot
+        c_quant = detr_c.astype(_mld.bfloat16).astype(np.float32)
         w_qc = None
     else:
         # int8 pair with exact post-dot weights (hoisted-dot structure):
@@ -636,10 +653,10 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         coarse_passes.append(ct)
     got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes,
                       w_qc, correct=False)
-    if coarse_mode == "int8_fast":
-        # detrended int8 planes: identity term added from exact weights
-        got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
-                           coarse_passes, None, correct=False)
+    # every coarse tier stores the detrended table; the kernel adds the
+    # identity term from the exact remapped weights
+    got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
+                       coarse_passes, None, correct=False)
 
     # term 2: residual at fine resolution, single-plane int8 with exact
     # post-dot weights (hoisted-dot structure): only the table quantization

@@ -257,7 +257,11 @@ def test_pyramid_int8_native(random_lut, rng):
     int8 tier natively (historically it was structurally excluded: the
     retired in-dot offset coding round(w*254)-127 underflowed for w < 0)."""
     prep = prepare_lut(random_lut)
-    assert prep.resolve_precision("pyramid").startswith("int8")
+    # auto resolves a reduced tier (no more structural exact-only routing),
+    # and the int8 tier specifically gates in for this LUT
+    assert prep.resolve_precision("pyramid") != "exact"
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET, SIM_MARGIN
+    assert prep.mode_error("pyramid", "int8_fast") * SIM_MARGIN <= DE76_BUDGET
     r, g, b = _rand_rgb_planes(rng, 4, 128)
     ro, go, bo = apply_lut_planes(r, g, b, prep, "pyramid",
                                   precision="int8_fast", interpret=True)
@@ -355,3 +359,23 @@ def test_coarse2_with_nonunit_domain(rng):
     got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
     err = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
     assert err < 0.5, (mode, err)
+
+
+def test_int8_lite_tier_parity(random_lut, rng):
+    """int8_lite (single q1 plane, half the dot) stays within its simulated
+    error bound and inside the contract budget for this grading-style LUT."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET, SIM_MARGIN
+
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(random_lut)
+    for interp in ("trilinear", "tetrahedral"):
+        sim = prep.mode_error(interp, "int8_lite")
+        assert sim * SIM_MARGIN <= DE76_BUDGET  # gates in on typical LUTs
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp,
+                                      precision="int8_lite", interpret=True)
+        rr, gr, br = _reference(r, g, b, random_lut, interp)
+        got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+        want = np.stack([rr, gr, br], -1)
+        measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
+        assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
