@@ -3,7 +3,7 @@
 The Pallas kernel contracts the (g, b) axes of the LUT jointly on the MXU:
     T'[col, pixel] = sum_{j,k} Lmat[col, j*N+k] * Wt[j*N+k, pixel]
 so the LUT is prebaked as `Lmat[(c*N + r), (j*N + k)] = lut[r, j, k, c]`
-with the row dim (3N) padded to a multiple of 128 lanes-worth of output rows.
+with the row dim (3N) padded to the int8 sublane tile (32).
 
 Three numeric representations are prebaked:
   * bf16 hi/lo pair  — "exact": hi + residual halves, table error ~2^-17;
@@ -49,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass
 class PreparedLut:
-    lmat: np.ndarray        # (rows_pad, N*N) f32: rows_pad = round_up(3N+1, 128)
+    lmat: np.ndarray        # (rows_pad, N*N) f32: rows_pad = round_up(3N+1, 32)
     lmat_hi: np.ndarray     # bf16 high half (ml_dtypes bfloat16)
     lmat_lo: np.ndarray     # bf16 residual: lmat - f32(lmat_hi)
     lmat_q1: np.ndarray     # int8 first plane (per-row scale s1)
@@ -287,7 +287,11 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
     table = np.asarray(lut.table, dtype=np.float32)
     n = table.shape[0]
     rows = 3 * n
-    rows_pad = _round_up(rows + 1, 128)
+    # pad to the int8 sublane tile (32): the strictest of the three plane
+    # dtypes (f32 needs 8, bf16 16). Round-1 used 128 out of caution; 32
+    # verified identical results and cuts the dominant dot's row count
+    # (N=65: 256 -> 224 rows, -12.5% MXU time on the residual term)
+    rows_pad = _round_up(rows + 1, 32)
     # lmat[c*N + r, k*N + j] = table[r, j, k, c]; row 3N is all-ones so the
     # matmul also returns each pixel's actual weight-column sum (used to
     # cancel weight rounding in the kernel). Column order is b-major /
