@@ -76,3 +76,17 @@ print("65 auto tetra:", p65.resolve_precision("tetrahedral", "auto"),
       flush=True)
 bench(p65, "tetrahedral", "coarse2f", "65 tetra coarse2f")
 parity(p65, lut65, "tetrahedral", "coarse2f", "65 tetra coarse2f")
+
+# int4 residual rung (coarse2q): production-style LUT that gates in
+lutp = Lut3D.identity(65)
+t = lutp.table
+curve = np.clip(t * 1.08 - 0.02 + 0.05 * np.sin(t * 3.1), 0, 1)
+lutp.table = (0.92 * curve
+              + 0.08 * curve.mean(axis=-1, keepdims=True)).astype(np.float32)
+pp = prepare_lut(lutp)
+print("65prod auto tetra:", pp.resolve_precision("tetrahedral", "auto"),
+      "q sim:", round(pp.mode_error("tetrahedral", "coarse2q"), 4),
+      flush=True)
+bench(pp, "tetrahedral", "coarse2q", "65prod tetra coarse2q")
+bench(pp, "tetrahedral", "coarse2f", "65prod tetra coarse2f")
+parity(pp, lutp, "tetrahedral", "coarse2q", "65prod tetra coarse2q")

@@ -475,7 +475,7 @@ def _fused_kernel_coarse(n: int, m: int, interp: str,
 
 
 def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
-                     s_ref, acc=None):
+                     s_ref, acc=None, wdt=jnp.int8):
     """Parity-quadrant residual body: the single-plane int8 residual matrix
     in prepare.quad_permute layout. Same hoisted-dot structure as
     _int8_quad_body (one 0/1 mask dot per quadrant, shared by all passes;
@@ -494,7 +494,7 @@ def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
     if acc is None:
         acc = [None, None, None]
     for q in range(4):
-        m8 = jnp.where(masks[q], 1.0, 0.0).astype(jnp.int8)
+        m8 = jnp.where(masks[q], 1.0, 0.0).astype(wdt)
         d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
                     preferred_element_type=jnp.int32)
         e = d.astype(jnp.float32) * s1
@@ -757,17 +757,27 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     dmax = tuple(float(v) for v in prep.domain_max)
     coarse_mode = ("exact" if precision.startswith("coarse2x")
                    else "fast" if precision.startswith("coarse2f")
+                   or precision.startswith("coarse2q")
                    else "int8_fast")
     resid_interp = ("trilinear"
                     if precision.endswith("_tri") and interp != "trilinear"
                     else interp)
+    resid_int4 = precision.startswith("coarse2q")
 
     cp = prep.coarse
     m = cp.size
     rows_f = prep.rows_pad
     rows_m = cp.rows_pad
-    lr = jnp.asarray(prep.resid_qp, jnp.int8)
-    sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
+    if resid_int4:
+        # interpret mode (CPU) cannot lower sub-byte dots; the -7..7 codes
+        # fit int8 and the int32 accumulation is identical either way
+        rdt = jnp.int8 if interpret else jnp.int4
+        lr = jnp.asarray(prep.resid_q4_qp, jnp.int8).astype(rdt)
+        sr = jnp.asarray(prep.resid4_scale, jnp.float32)
+    else:
+        lr = jnp.asarray(prep.resid_qp, jnp.int8)
+        sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
+        rdt = jnp.int8
     if coarse_mode == "int8_fast":
         lc = jnp.asarray(cp.lmat_qp, jnp.int8)
         sc = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
@@ -787,8 +797,8 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     assert npix % bm == 0
     kernel = functools.partial(
         _fused_kernel_coarse2, n, m, interp,
-        resid_interp, coarse_mode, prep.resid_quad_widths, cp.quad_widths,
-        dmin, dmax)
+        resid_interp, coarse_mode, rdt, prep.resid_quad_widths,
+        cp.quad_widths, dmin, dmax)
     out = pl.pallas_call(
         kernel,
         grid=(npix // bm,),
@@ -812,7 +822,8 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
 
 
 def _fused_kernel_coarse2(n, m, interp, resid_interp,
-                          coarse_mode, rwidths, cwidths, dmin, dmax,
+                          coarse_mode, resid_dtype, rwidths, cwidths,
+                          dmin, dmax,
                           rgb_ref, lr_ref, sr_ref, lc_ref, sc_ref,
                           out_ref):
     """MERGED coarse+residual kernel: both terms of the decomposition in one
@@ -825,7 +836,7 @@ def _fused_kernel_coarse2(n, m, interp, resid_interp,
     idxf, wallf, np_f = _fine_taps_remapped(rgb, n, n, resid_interp,
                                             dmin, dmax)
     acc = _resid_quad_body(n, np_f, rwidths, idxf, wallf,
-                           lr_ref, sr_ref)
+                           lr_ref, sr_ref, wdt=resid_dtype)
     idxc, wallc, np_c = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
         acc = _int8_quad_body(m, np_c, cwidths, idxc,
