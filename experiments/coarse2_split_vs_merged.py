@@ -1,4 +1,8 @@
-"""Decompose the 65^3 coarse2 time: split launchers vs merged kernel,
+"""ARCHIVED measurement: pins the pre-merge split-launcher API
+(_launch_resid2/_launch_coarse were removed from ops/lut3d.py after the
+merged coarse2 kernel landed); kept for the measurement record only.
+
+Decompose the 65^3 coarse2 time: split launchers vs merged kernel,
 per-term times, tetra + trilinear residual variants."""
 import sys, time
 sys.path.insert(0, "/root/repo")

@@ -1,4 +1,8 @@
-"""int4 residual kernel prototype for the 65^3 coarse+residual decomposition.
+"""ARCHIVED measurement: pins the pre-merge split-launcher API
+(_launch_resid2/_launch_coarse were removed from ops/lut3d.py after the
+merged coarse2 kernel landed); kept for the measurement record only.
+
+int4 residual kernel prototype for the 65^3 coarse+residual decomposition.
 
 The residual table R = L - U(C) has tiny magnitude; int4 (x int4 weights at
 offset-14 coding) runs the MXU at ~2.4x the int8 rate (989 vs 403-470 TOPS,

@@ -59,10 +59,7 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 1024
     if n <= 49:
         return 512
-    if mode == "int8_resid2":
-        return 1024  # parity-halved tiles leave VMEM headroom (swept)
-    if mode in ("int8", "int8_fast", "int8_lite", "int8_resid") \
-            and n_passes == 1:
+    if mode in ("int8", "int8_fast", "int8_lite") and n_passes == 1:
         return 512
     return 256
 
@@ -439,41 +436,6 @@ def _fine_taps_remapped(rgb, n_fine: int, n_out: int, interp: str,
     return idx, wall, len(passes)
 
 
-def _fused_kernel_resid2(n_fine: int, n_resid: int,
-                         interp: str, widths, dmin, dmax,
-                         rgb_ref, lq_ref, s_ref, out_ref):
-    """Fused-taps parity-quadrant residual kernel (see _fused_kernel_int8).
-    n_resid < n_fine evaluates a NESTED residual (e.g. R33 inside the
-    65 -> 33 -> 17 recursion): fine taps are remapped down exactly."""
-    rgb = rgb_ref[:]
-    idx, wall, n_passes = _fine_taps_remapped(rgb, n_fine, n_resid, interp,
-                                              dmin, dmax)
-    _write_out(out_ref, _resid_quad_body(n_resid, n_passes,
-                                         widths, idx, wall, lq_ref, s_ref))
-
-
-def _fused_kernel_coarse(n: int, m: int, interp: str,
-                         coarse_mode: str, widths, dmin, dmax,
-                         rgb_ref, la_ref, s_ref, out_ref):
-    """Fused coarse term of the coarse decomposition: FINE coordinates and
-    pass weights computed in-kernel at grid n, then remapped per axis down
-    to grid m — one halving per level, so m = 33 is the coarse2 term and
-    m = 17 the doubly-remapped term of the 3-level recursion — and
-    contracted against the coarse table at `coarse_mode` numerics:
-    "int8_fast" (quadrant hoisted-dot int8 pair), "fast" (bf16 hi-only,
-    half the exact dot) or exact bf16 hi/lo."""
-    rgb = rgb_ref[:]
-    idxc, wallc, n_passes = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
-    if coarse_mode == "int8_fast":
-        _write_out(out_ref, _int8_quad_body(m, n_passes,
-                                            widths, idxc, wallc, la_ref,
-                                            s_ref))
-    else:
-        _write_out(out_ref, _bf16_quad_body(m, n_passes,
-                                            coarse_mode == "exact", widths,
-                                            idxc, wallc, la_ref))
-
-
 def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
                      s_ref, acc=None, wdt=jnp.int8):
     """Parity-quadrant residual body: the single-plane int8 residual matrix
@@ -648,91 +610,6 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
         interpret=interpret,
     )(rgb3, lmat_a)
     return out[:3]
-
-
-def _launch_resid2(rgb3, owner, n_fine: int, n_resid: int,
-                   interp_used: str, dmin, dmax, interpret: bool):
-    """Launch the b-parity residual kernel for `owner`'s residual tables at
-    grid n_resid, with taps computed at n_fine and remapped down."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    npix = rgb3.shape[1]
-    rows = owner.rows_pad
-    nr = n_resid
-    lq = jnp.asarray(owner.resid_qp, jnp.int8)
-    ktot = lq.shape[1]
-    svr = jnp.asarray(owner.resid_scale * 127.0, jnp.float32)  # unfolded
-    bm = min(1024, _block_pixels(
-        nr, "int8_resid2",
-        1 if interp_used in ("nearest", "trilinear") else 2))
-    assert npix % bm == 0
-    kernel = functools.partial(_fused_kernel_resid2, n_fine, nr,
-                               interp_used,
-                               owner.resid_quad_widths, dmin, dmax)
-    return pl.pallas_call(
-        kernel,
-        grid=(npix // bm,),
-        in_specs=[
-            pl.BlockSpec((3, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, ktot), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, bm), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
-        interpret=interpret,
-    )(rgb3, lq, svr)
-
-
-def _launch_coarse(rgb3, cp, n_fine: int, interp: str, coarse_mode: str,
-                   dmin, dmax, interpret: bool):
-    """Launch the coarse-term kernel for coarse prep `cp` (grid cp.size),
-    remapping taps down from n_fine."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    npix = rgb3.shape[1]
-    m = cp.size
-    rows_m = cp.rows_pad
-    # capped at the coarse padding granularity (apply_lut_planes pads 1024)
-    bmc = min(1024, _block_pixels(m, coarse_mode,
-                                  1 if interp in ("nearest", "trilinear")
-                                  else 2))
-    assert npix % bmc == 0
-    if coarse_mode == "int8_fast":
-        la = jnp.asarray(cp.lmat_qp, jnp.int8)
-        sv = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
-        a_rows = 2 * rows_m
-    elif coarse_mode == "fast":
-        la = jnp.asarray(cp.lmat_bf_qp[:rows_m], jnp.bfloat16)  # hi only
-        sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
-        a_rows = rows_m
-    else:
-        la = jnp.asarray(cp.lmat_bf_qp, jnp.bfloat16)
-        sv = jnp.zeros((8, 1), jnp.float32)      # unused placeholder
-        a_rows = 2 * rows_m
-    ka = la.shape[1]
-    kernel = functools.partial(_fused_kernel_coarse, n_fine, m,
-                               interp, coarse_mode, cp.quad_widths,
-                               dmin, dmax)
-    return pl.pallas_call(
-        kernel,
-        grid=(npix // bmc,),
-        in_specs=[
-            pl.BlockSpec((3, bmc), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_rows, ka), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(sv.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, bmc), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, npix), jnp.float32),
-        interpret=interpret,
-    )(rgb3, la, sv)
 
 
 def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
