@@ -634,27 +634,18 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     dmax = tuple(float(v) for v in prep.domain_max)
     coarse_mode = ("exact" if precision.startswith("coarse2x")
                    else "fast" if precision.startswith("coarse2f")
-                   or precision.startswith("coarse2q")
                    else "int8_fast")
     resid_interp = ("trilinear"
                     if precision.endswith("_tri") and interp != "trilinear"
                     else interp)
-    resid_int4 = precision.startswith("coarse2q")
 
     cp = prep.coarse
     m = cp.size
     rows_f = prep.rows_pad
     rows_m = cp.rows_pad
-    if resid_int4:
-        # interpret mode (CPU) cannot lower sub-byte dots; the -7..7 codes
-        # fit int8 and the int32 accumulation is identical either way
-        rdt = jnp.int8 if interpret else jnp.int4
-        lr = jnp.asarray(prep.resid_q4_qp, jnp.int8).astype(rdt)
-        sr = jnp.asarray(prep.resid4_scale, jnp.float32)
-    else:
-        lr = jnp.asarray(prep.resid_qp, jnp.int8)
-        sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
-        rdt = jnp.int8
+    lr = jnp.asarray(prep.resid_qp, jnp.int8)
+    sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
+    rwidths = prep.resid_quad_widths
     if coarse_mode == "int8_fast":
         lc = jnp.asarray(cp.lmat_qp, jnp.int8)
         sc = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
@@ -674,7 +665,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     assert npix % bm == 0
     kernel = functools.partial(
         _fused_kernel_coarse2, n, m, interp,
-        resid_interp, coarse_mode, rdt, prep.resid_quad_widths,
+        resid_interp, coarse_mode, rwidths,
         cp.quad_widths, dmin, dmax)
     out = pl.pallas_call(
         kernel,
@@ -699,7 +690,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
 
 
 def _fused_kernel_coarse2(n, m, interp, resid_interp,
-                          coarse_mode, resid_dtype, rwidths, cwidths,
+                          coarse_mode, rwidths, cwidths,
                           dmin, dmax,
                           rgb_ref, lr_ref, sr_ref, lc_ref, sc_ref,
                           out_ref):
@@ -713,7 +704,7 @@ def _fused_kernel_coarse2(n, m, interp, resid_interp,
     idxf, wallf, np_f = _fine_taps_remapped(rgb, n, n, resid_interp,
                                             dmin, dmax)
     acc = _resid_quad_body(n, np_f, rwidths, idxf, wallf,
-                           lr_ref, sr_ref, wdt=resid_dtype)
+                           lr_ref, sr_ref)
     idxc, wallc, np_c = _fine_taps_remapped(rgb, n, m, interp, dmin, dmax)
     if coarse_mode == "int8_fast":
         acc = _int8_quad_body(m, np_c, cwidths, idxc,

@@ -89,11 +89,6 @@ class PreparedLut:
     resid_bias: Optional[np.ndarray] = None    # (rows_pad, 1) f32
     resid_qp: Optional[np.ndarray] = None      # quad_permute(resid_q)
     resid_quad_widths: Optional[Tuple[int, int, int, int]] = None
-    # int4 residual plane (codes -7..7 in an int8 array; launcher casts to
-    # jnp.int4): gated rung "coarse2q" — see _int4_single
-    resid_q4: Optional[np.ndarray] = None      # (rows_pad, N^2) int8 codes
-    resid_q4_qp: Optional[np.ndarray] = None
-    resid4_scale: Optional[np.ndarray] = None  # (rows_pad, 1) f32 raw scale
     _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
     _auto_cache: Dict[str, str] = field(default_factory=dict)
 
@@ -116,12 +111,9 @@ class PreparedLut:
                                 else interp)
                 coarse_mode = ("exact" if mode.startswith("coarse2x")
                                else "fast" if mode.startswith("coarse2f")
-                               or mode.startswith("coarse2q")
                                else "int8_fast")
-                resid_bits = 4 if mode.startswith("coarse2q") else 8
                 self._mode_errors[key] = simulate_coarse_error(
-                    self, interp, resid_interp, coarse_mode, probes=probes,
-                    resid_bits=resid_bits,
+                    self, interp, resid_interp, coarse_mode, probes=probes
                 )
             else:
                 self._mode_errors[key] = simulate_mode_error(
@@ -160,10 +152,10 @@ class PreparedLut:
             # pair, "x" = detrended bf16 pair. Residual terms are
             # near-exact by construction; all tiers share the hoisted-dot
             # structure, so pass count no longer multiplies the MXU time.
-            # coarse2q = int4 residual (2.4x the int8 dot rate) + the
-            # coarse2f coarse term — the fastest 65-cube rung when the
-            # residual is small enough for int4's rowmax/14 error
-            ladder = ["coarse2q", "coarse2f", "coarse2", "coarse2x",
+            # (an int4-residual rung "coarse2q" was built and measured:
+            # 73.8 vs 75.1 ms — the 65-cube kernel is not dot-bound, and
+            # int4 constants break JAX eager dispatch; reverted, FINDINGS)
+            ladder = ["coarse2f", "coarse2", "coarse2x",
                       "fast", "int8_lite", "int8_fast"]
         choice = "exact"
         for mode in ladder:
@@ -220,7 +212,7 @@ def _int8_pair(lmat: np.ndarray, ones_row: int):
     return q1, q2, s1f, s2f, bias
 
 
-def quad_permute(mat: np.ndarray, n: int):
+def quad_permute(mat: np.ndarray, n: int, pad: int = 32):
     """Permute (rows, N*N) columns (K index = k*N + j, k = b-plane, j = g)
     into four parity quadrants (b even/odd x g even/odd), b-major/g-minor
     within each, zero-padded per quadrant to a multiple of 32 columns (int8
@@ -235,7 +227,7 @@ def quad_permute(mat: np.ndarray, n: int):
             js = np.arange(gs, n, 2)
             kk, jj = np.meshgrid(ks, js, indexing="ij")
             idx = (kk * n + jj).reshape(-1)
-            w = _round_up(len(idx), 32)
+            w = _round_up(len(idx), pad)
             block = np.zeros((rows, w), mat.dtype)
             block[:, : len(idx)] = mat[:, idx]
             blocks.append(block)
@@ -273,20 +265,6 @@ def _lmat_from_table(table: np.ndarray, rows_pad: int) -> np.ndarray:
     lmat[:rows] = table.transpose(3, 0, 2, 1).reshape(rows, n * n)
     lmat[rows] = 1.0
     return lmat
-
-
-def _int4_single(lmat: np.ndarray):
-    """Per-row symmetric single-plane int4 (codes -7..7, stored as int8 and
-    cast to jnp.int4 at launch): error <= rowmax/14. The int4 x int4 MXU
-    path runs ~2.4x the int8 rate (989 vs ~400 TOPS, experiments/
-    int4_dot.py), and with hoisted 0/1 masks the W build costs the same as
-    int8 — so an int4 residual halves the dominant 65-cube dot when the
-    LUT's residual is small enough to gate in."""
-    absmax = np.abs(lmat).max(axis=1, keepdims=True)
-    s = absmax / 7.0
-    safe = np.where(s > 0, s, 1.0)
-    q = np.clip(np.round(lmat / safe), -7, 7).astype(np.int8)
-    return q, s.astype(np.float32)
 
 
 def _int8_single(lmat: np.ndarray):
@@ -342,7 +320,6 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
 
     coarse = resid_q = resid_scale = resid_bias = None
     resid_qp = resid_quad_widths = None
-    resid_q4 = resid_q4_qp = resid4_scale = None
     if (n >= 49 or force_coarse) and n % 2 == 1 and n >= 9:
         c_table = np.ascontiguousarray(table[::2, ::2, ::2])
         resid = table - _upsample2_linear(c_table)
@@ -354,8 +331,6 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_lmat = _lmat_from_table(resid, rows_pad)
         resid_q, resid_scale, resid_bias = _int8_single(resid_lmat)
         resid_qp, resid_quad_widths = quad_permute(resid_q, n)
-        resid_q4, resid4_scale = _int4_single(resid_lmat)
-        resid_q4_qp, _ = quad_permute(resid_q4, n)
 
     return PreparedLut(
         lmat=lmat,
@@ -381,9 +356,6 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_bias=resid_bias,
         resid_qp=resid_qp,
         resid_quad_widths=resid_quad_widths,
-        resid_q4=resid_q4,
-        resid_q4_qp=resid_q4_qp,
-        resid4_scale=resid4_scale,
     )
 
 
@@ -627,8 +599,7 @@ def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool,
 
 def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
                           coarse_mode: str = "int8_fast",
-                          probes: int = 60_000,
-                          resid_bits: int = 8) -> float:
+                          probes: int = 60_000) -> float:
     """Worst-case dE76 of the coarse+residual evaluation vs the exact f32
     interpolation: coarse term at `coarse_mode` numerics ("int8_fast" or
     "exact" bf16-pair, which this sim treats as error-free) on the (N+1)/2
@@ -698,13 +669,8 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     # of the tiny residual remains (plus any _tri interp substitution via
     # resid_passes)
     rows_f = 3 * n
-    if resid_bits == 4:
-        sr = prep.resid4_scale[:rows_f]
-        r_q = prep.resid_q4[:rows_f]
-    else:
-        sr = prep.resid_scale[:rows_f] * 127.0
-        r_q = prep.resid_q[:rows_f]
-    r_table = (r_q.astype(np.float32) * sr).reshape(
+    sr = prep.resid_scale[:rows_f] * 127.0
+    r_table = (prep.resid_q[:rows_f].astype(np.float32) * sr).reshape(
         3, n, n, n).transpose(1, 3, 2, 0)
     resid_passes = (fine_passes if resid_interp == interp
                     else _np_tap_weights(resid_interp, d))

@@ -379,38 +379,3 @@ def test_int8_lite_tier_parity(random_lut, rng):
         want = np.stack([rr, gr, br], -1)
         measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
         assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
-
-
-def test_coarse2q_int4_residual(rng):
-    """coarse2q (int4 residual + detrended-bf16 coarse) gates in on a
-    production-style 65^3 look and matches the reference inside its
-    simulated bound; an adversarial noise LUT must reject it."""
-    from lut_renderer_tpu.colorcore import max_delta_e76
-    from lut_renderer_tpu.ops.prepare import DE76_BUDGET, SIM_MARGIN
-
-    lut = Lut3D.identity(65)
-    t = lut.table
-    curve = np.clip(t * 1.08 - 0.02 + 0.05 * np.sin(t * 3.1), 0, 1)
-    lut.table = (0.92 * curve
-                 + 0.08 * curve.mean(axis=-1, keepdims=True)
-                 ).astype(np.float32)
-    prep = prepare_lut(lut)
-    sim = prep.mode_error("tetrahedral", "coarse2q")
-    assert sim * SIM_MARGIN <= DE76_BUDGET
-    r, g, b = _rand_rgb_planes(rng, 4, 256)
-    ro, go, bo = apply_lut_planes(r, g, b, prep, "tetrahedral",
-                                  precision="coarse2q", interpret=True)
-    rr, gr, br = _reference(r, g, b, lut, "tetrahedral")
-    got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
-    want = np.stack([rr, gr, br], -1)
-    measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
-    assert measured <= sim * 1.3 + 0.02, (measured, sim)
-
-    noisy = Lut3D.identity(65)
-    noisy.table = np.clip(
-        noisy.table + rng.uniform(-0.02, 0.02, noisy.table.shape
-                                  ).astype(np.float32), 0, 1)
-    pn = prepare_lut(noisy)
-    assert pn.mode_error("tetrahedral", "coarse2q") * SIM_MARGIN \
-        > DE76_BUDGET
-    assert pn.resolve_precision("tetrahedral") != "coarse2q"
