@@ -51,9 +51,14 @@ from .prepare import PreparedLut
 # 1-pass int8) within noise of best; N>=49 shrinks blocks.
 def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 33:
+        if mode == "fast":
+            # single bf16 plane: small VMEM footprint; swept 4096 best
+            # (18.2 -> 16.1 ms/4K tetra vs 1024 — experiments/
+            # fast_bm_sweep.py)
+            return 4096
         # single-pass int8 programs have VMEM headroom for a double block
-        # (trilinear int8: 28.4 -> 23.9 ms/4K measured); 2-pass and bf16
-        # programs spill above 1024
+        # (trilinear int8: 28.4 -> 23.9 ms/4K measured); 2-pass and other
+        # bf16 programs spill above their swept sizes
         if mode in ("int8", "int8_fast", "int8_lite") and n_passes == 1:
             return 2048
         return 1024

@@ -379,3 +379,25 @@ def test_int8_lite_tier_parity(random_lut, rng):
         want = np.stack([rr, gr, br], -1)
         measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
         assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
+
+
+def test_fast_tier_detrended_parity(random_lut, rng):
+    """The detrended-bf16 "fast" tier (the usual auto default) stays within
+    its simulated bound: 2^-9 of the grading DELTA, not of the table value,
+    because the stored plane is identity-detrended with the exact analytic
+    identity added in-kernel."""
+    from lut_renderer_tpu.colorcore import max_delta_e76
+    from lut_renderer_tpu.ops.prepare import DE76_BUDGET, SIM_MARGIN
+
+    r, g, b = _rand_rgb_planes(rng)
+    prep = prepare_lut(random_lut)
+    for interp in ("trilinear", "tetrahedral"):
+        sim = prep.mode_error(interp, "fast")
+        assert sim * SIM_MARGIN <= DE76_BUDGET  # gates in on typical LUTs
+        ro, go, bo = apply_lut_planes(r, g, b, prep, interp,
+                                      precision="fast", interpret=True)
+        rr, gr, br = _reference(r, g, b, random_lut, interp)
+        got = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+        want = np.stack([rr, gr, br], -1)
+        measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
+        assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
