@@ -76,3 +76,29 @@ def test_parity_65cube(tmp_path):
             ffm = oracle.apply_rgb_float(rgb)
         ours = apply_lut(rgb, lut, interp)
         assert max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1)) < 0.01
+
+
+def test_auto_kernel_vs_ffmpeg_lut3d_direct(cube33, rng):
+    """The PRODUCTION path, end to end: the MXU kernel at precision="auto"
+    (whatever tier gates in for this LUT) directly against FFmpeg's own
+    lut3d output — not via the colorcore reference. This is the same
+    contract bench.py reports from the chip (max_dE76_vs_lut3d)."""
+    import jax.numpy as jnp
+
+    from lut_renderer_tpu.ops import prepare_lut
+    from lut_renderer_tpu.ops.lut3d import apply_lut_planes
+
+    path, lut = cube33
+    rgb = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    with Lut3DOracle(path, "tetrahedral", "gbrpf32le", 64, 64) as oracle:
+        ffm = oracle.apply_rgb_float(rgb)
+    prep = prepare_lut(lut)
+    tier = prep.resolve_precision("tetrahedral", "auto")
+    assert tier != "exact"  # a reduced tier must carry the contract
+    ro, go, bo = apply_lut_planes(
+        jnp.asarray(rgb[..., 0]), jnp.asarray(rgb[..., 1]),
+        jnp.asarray(rgb[..., 2]), prep, "tetrahedral", precision="auto",
+        interpret=True)
+    ours = np.stack([np.asarray(ro), np.asarray(go), np.asarray(bo)], -1)
+    de = max_delta_e76(np.clip(ffm, 0, 1), np.clip(ours, 0, 1))
+    assert de < 0.5, f"auto tier {tier}: dE76 {de} vs real lut3d"
