@@ -1,6 +1,8 @@
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+from lut_renderer_tpu.utils.compile_cache import enable_persistent_compile_cache
+enable_persistent_compile_cache()
 from lut_renderer_tpu.colorcore import Lut3D
 from lut_renderer_tpu.ops import prepare_lut, RenderConfig
 from lut_renderer_tpu.parallel import default_mesh, make_sharded_render_fn
