@@ -35,6 +35,7 @@ from typing import Optional
 
 from ..models import ProcessingParams
 from ..tasks import TaskManager
+from .defaults import mode_template
 from .taskfactory import create_tasks
 
 
@@ -113,7 +114,15 @@ class QueueServer:
         lut = req.get("lut")
         if lut and not Path(lut).exists():
             return {"ok": False, "error": f"LUT not found: {lut}"}
-        params = ProcessingParams.from_dict(req.get("params") or {})
+        # Overlay request params on the mode template, exactly like the CLI
+        # (app/cli.py): the bare dataclass default is libx264, which the
+        # bundled libavcodec does not ship — a client that names no codec
+        # must get the first AVAILABLE one, not a guaranteed encode failure.
+        req_params = dict(req.get("params") or {})
+        base = mode_template(req_params.get("processing_mode", "fast"))
+        merged = base.to_dict()
+        merged.update(req_params)
+        params = ProcessingParams.from_dict(merged)
         try:
             with self._lock:
                 batch = create_tasks(

@@ -149,3 +149,23 @@ def test_serve_concurrent_clients(served):
     for t in threads:
         t.join(timeout=60)
     assert not errors
+
+
+def test_submit_without_codec_gets_available_encoder(tmp_path):
+    """A submit that names no codec must resolve to the mode template's
+    first AVAILABLE encoder, exactly like the CLI — the bare dataclass
+    default (libx264) is not in the bundled libavcodec and would fail at
+    encode open (caught live driving serve on this box)."""
+    from lut_renderer_tpu.app.defaults import mode_template
+
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 48, frames=3)
+    server = QueueServer(tmp_path / "s.sock", max_concurrency=1,
+                         lut_strategy="gather")
+    server.manager.start_all = lambda: None  # inspect params, don't render
+    resp = server._submit({"files": [str(clip)],
+                           "out_dir": str(tmp_path / "out")})
+    assert resp["ok"], resp
+    task = next(iter(server.manager.tasks.values()))
+    expect = mode_template("fast").video_codec
+    assert task.params.video_codec == expect
+    assert task.params.video_codec != "copy"
