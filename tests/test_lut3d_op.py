@@ -336,6 +336,9 @@ def test_auto_gate_accepts_production_style_luts():
     fast_tiers = {m for m in resolved.values() if m != "exact"}
     assert len(fast_tiers) >= 1 and sum(
         1 for m in resolved.values() if m != "exact") >= 4, resolved
+    # the detrended-bf16 default must carry most real looks (it is the
+    # headline tier; if it stopped gating in, throughput silently halves)
+    assert sum(1 for m in resolved.values() if m == "fast") >= 3, resolved
 
 
 def test_coarse2_with_nonunit_domain(rng):
