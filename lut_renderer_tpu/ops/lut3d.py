@@ -233,7 +233,15 @@ def _parity_split(p, n):
     """Per-pixel parity decomposition of a 2-tap axis at prev index p: the
     taps (p, p+1) hit exactly one even and one odd grid line (except the
     clamped edge p == n-1, n odd, where both fold onto the last even line).
-    Returns (parity, clamp, even_line_index, odd_line_index)."""
+    Returns (parity, clamp, even_line_index, odd_line_index).
+
+    EVEN n: p == n-1 is an ODD line and the computed even_line_index
+    (p+1)//2 is out of quadrant range — harmless, because p == n-1 implies
+    d == 0 for that axis, and every interp's effective tap weight there is
+    zero (next-weights are 0 at d=0, or the whole pass is zero because a
+    zero-delta axis is the min/smallest axis); the out-of-range one-hot
+    target simply never fires. Pinned by tests/test_lut3d_op.py::
+    test_even_sized_luts."""
     par = p % 2
     clamp = p == (n - 1)
     return par, clamp, (p + par) // 2, p // 2

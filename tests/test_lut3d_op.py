@@ -404,3 +404,33 @@ def test_fast_tier_detrended_parity(random_lut, rng):
         want = np.stack([rr, gr, br], -1)
         measured = max_delta_e76(np.clip(got, 0, 1), np.clip(want, 0, 1))
         assert measured <= sim * 1.3 + 0.02, (interp, measured, sim)
+
+
+@pytest.mark.parametrize("n", [16, 32, 64])
+def test_even_sized_luts(n, rng):
+    """Even grid sizes (16/32/64 are common .cube sizes) through the
+    parity-quadrant kernels, including exact-1.0 inputs that hit the
+    p == n-1 clamp. The clamp's even-line target is out of quadrant range
+    for even n, but any p == n-1 tap has d == 0, so every interp's
+    effective weight there is zero (see _parity_split) — this test pins
+    that invariant."""
+    lut = Lut3D.identity(n)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.05, 0.05, lut.table.shape
+                                ).astype(np.float32), 0, 1)
+    prep = prepare_lut(lut)
+    P = 1024
+    rs = rng.uniform(0, 1, (1, P)).astype(np.float32)
+    gs = rng.uniform(0, 1, (1, P)).astype(np.float32)
+    bs = rng.uniform(0, 1, (1, P)).astype(np.float32)
+    gs[0, :64] = 1.0           # ties + clamp paths
+    bs[0, :32] = 1.0
+    rs[0, :8] = 1.0
+    for interp in ("trilinear", "tetrahedral", "pyramid", "prism"):
+        ro, go, bo = apply_lut_planes(rs, gs, bs, prep, interp,
+                                      precision="int8_fast", interpret=True)
+        rr, gr, br = _reference(rs, gs, bs, lut, interp)
+        np.testing.assert_allclose(np.asarray(ro), rr, atol=1e-4,
+                                   err_msg=f"{n} {interp}")
+        np.testing.assert_allclose(np.asarray(bo), br, atol=1e-4,
+                                   err_msg=f"{n} {interp}")
