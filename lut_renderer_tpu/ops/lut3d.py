@@ -743,10 +743,13 @@ def apply_lut_planes(
     r/g/b: arbitrary same-shaped float arrays (typically (H, W)).
     strategy: "mxu" (Pallas kernel) or "gather" (XLA gather fallback — exact
     but slow on TPU; useful for tiny inputs and cross-checks).
-    precision: "exact" (corrected bf16 hi/lo), "fast" (single bf16 dot),
-    "int8" (int8 hi/lo pair at 2x MXU rate), or "auto" — the fastest mode
-    whose SIMULATED per-LUT worst-case dE76 clears prepare.DE76_BUDGET
-    (resolved at trace time via prep.resolve_precision).
+    precision: "exact" (detrended bf16 hi/lo pair, ~1e-6), "fast" (bf16 hi
+    only — the usual auto pick), "int8_fast" (int8 pair, near-exact; alias
+    "int8"), "int8_lite" (single int8 plane), the coarse2* family for
+    N >= 49, or "auto" — the fastest mode whose SIMULATED per-LUT
+    worst-case dE76 clears prepare.DE76_BUDGET (resolved at trace time via
+    prep.resolve_precision). Every tier uses exact f32 weights (hoisted-dot
+    structure); tiers differ only in the stored table representation.
     """
     if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
