@@ -1,4 +1,6 @@
-"""On-chip validation + timing of the int4-residual coarse2q rung."""
+"""ARCHIVED measurement: the int4-residual "coarse2q" rung was reverted
+(73.8 vs 75.1 ms — not dot-bound; see FINDINGS). Pins removed prepare
+fields (resid_q4*); kept for the measurement record only."""
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
