@@ -69,6 +69,11 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     return 256
 
 
+# Merged coarse+residual kernel block size (N >= 49): the resid masks
+# (K ~ N^2/4 per quadrant x BM) are the VMEM heavyweight; swept on v5e.
+_COARSE2_BM = 1024
+
+
 def lut3d_tpu_available() -> bool:
     try:
         from jax.experimental import pallas  # noqa: F401
@@ -674,7 +679,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     kc = lc.shape[1]
 
     npix = rgb3.shape[1]
-    bm = 1024
+    bm = _COARSE2_BM
     assert npix % bm == 0
     kernel = functools.partial(
         _fused_kernel_coarse2, n, m, interp,
@@ -774,8 +779,9 @@ def apply_lut_planes(
     npix = rf.shape[0]
     n_passes = 1 if interp in ("nearest", "trilinear") else 2
     coarse2 = precision.startswith("coarse") and prep.coarse is not None
-    # coarse2 runs two kernels with different block sizes; pad to the lcm
-    bm = 1024 if coarse2 else _block_pixels(n, precision, n_passes)
+    # coarse2 is one merged kernel (coarse + residual share the block) at
+    # its own swept block size
+    bm = _COARSE2_BM if coarse2 else _block_pixels(n, precision, n_passes)
     pad = (-npix) % bm
     if pad:
         rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])

@@ -64,7 +64,7 @@ class PreparedLut:
     # Stacked [hi; lo] bf16 pair in the same quadrant layout: the bf16 tiers
     # ride the identical hoisted-dot structure (bf16 0/1 masks, f32
     # accumulation). hi + lo reconstructs the table to ~2^-17, and with
-    # exact post-dot weights the "exact" tier's total error is ~1e-7 — no
+    # exact post-dot weights the "exact" tier's total error is ~1e-6 — no
     # sum-correction machinery needed.
     lmat_bf_qp: np.ndarray  # (2*rows_pad, K') bfloat16
     quad_widths: Tuple[int, int, int, int]  # (ee, eo, oe, oo) padded widths
@@ -441,11 +441,12 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     """Replay the kernel's reduced-precision numerics in NumPy and return the
     max dE76 vs the exact f32 result over a dense probe set.
 
-    Faithful to the kernel: quantized table planes; weight-tile bf16 cast +
-    ones-row sum correction for "fast"; the int8 tiers use EXACT f32
-    weights post-dot (hoisted-dot structure), so their only modeled error
-    is the quantized table. The int32/f32 accumulations themselves are
-    exact, so NumPy f64 replay is a faithful upper-level model."""
+    Faithful to the hoisted-dot kernel: every reduced tier stores a
+    quantized DETRENDED table ("fast" = bf16-rounded, int8 tiers = one or
+    two int8 planes) and applies EXACT f32 corner weights post-dot, so the
+    only modeled error is the quantized table (the in-kernel identity term
+    is exact and added separately). The int32/f32 accumulations themselves
+    are exact, so NumPy f64 replay is a faithful upper-level model."""
     import ml_dtypes
 
     from ..colorcore.metrics import max_delta_e76
@@ -503,29 +504,21 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    def interp_with(cellv, weight_fn, correct: bool):
+    def interp_with(cellv, weight_fn):
         acc = np.zeros((len(pts), 3), np.float64)
         for taps in passes:  # taps: (P, 3, 2)
             gb = taps[:, 1, :, None] * taps[:, 2, None, :]  # (P, 2, 2)
             gbq = weight_fn(gb)
-            true_sum = (taps[:, 1].sum(1) * taps[:, 2].sum(1))
-            meas = gbq.sum((1, 2))
-            scale = np.where(np.abs(meas) > 0.01, true_sum / np.where(
-                meas == 0, 1, meas), 1.0)
             # contract: r taps x (g,b) tile x cell values
             w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
-            contrib = np.einsum("pabc,pabcx->px", w_full, cellv)
-            if correct:
-                contrib = contrib * scale[:, None]
-            acc += contrib
+            acc += np.einsum("pabc,pabcx->px", w_full, cellv)
         return acc
 
-    ref = interp_with(cell, lambda w: w, correct=False)
-    got = interp_with(qcell, w_quant, correct=False)
+    ref = interp_with(cell, lambda w: w)
+    got = interp_with(qcell, w_quant)
     # every reduced tier stores the detrended table; add the exact
     # in-kernel identity term
-    got += interp_with(corners(_identity_table(n)), lambda w: w,
-                       correct=False)
+    got += interp_with(corners(_identity_table(n)), lambda w: w)
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),
         np.clip(got, 0, 1).astype(np.float32),
@@ -575,25 +568,13 @@ def _gather_cells(table: np.ndarray, p: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _sim_passes(cells: np.ndarray, passes, w_quant, correct: bool,
-                factor_quant=None):
+def _sim_passes(cells: np.ndarray, passes, w_quant):
     acc = np.zeros((cells.shape[0], 3), np.float64)
     for taps in passes:  # (P, 3, 2)
-        if factor_quant is not None:
-            gbq = factor_quant(taps)
-        else:
-            gb = taps[:, 1, :, None] * taps[:, 2, None, :]
-            gbq = w_quant(gb) if w_quant else gb
-        if correct:
-            true_sum = taps[:, 1].sum(1) * taps[:, 2].sum(1)
-            meas = gbq.sum((1, 2))
-            scale = np.where(np.abs(meas) > 0.01,
-                             true_sum / np.where(meas == 0, 1, meas), 1.0)
+        gb = taps[:, 1, :, None] * taps[:, 2, None, :]
+        gbq = w_quant(gb) if w_quant else gb
         w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
-        contrib = np.einsum("pabc,pabcx->px", w_full, cells)
-        if correct:
-            contrib = contrib * scale[:, None]
-        acc += contrib
+        acc += np.einsum("pabc,pabcx->px", w_full, cells)
     return acc
 
 
@@ -617,8 +598,7 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     d = (s - p).astype(np.float32)
 
     fine_passes = _np_tap_weights(interp, d)
-    ref = _sim_passes(_gather_cells(prep.table, p, n), fine_passes,
-                      None, correct=False)
+    ref = _sim_passes(_gather_cells(prep.table, p, n), fine_passes, None)
 
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
@@ -657,12 +637,11 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
                 p[:, ax], taps[:, ax, 0], taps[:, ax, 1]
             )
         coarse_passes.append(ct)
-    got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes,
-                      w_qc, correct=False)
+    got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes, w_qc)
     # every coarse tier stores the detrended table; the kernel adds the
     # identity term from the exact remapped weights
     got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
-                       coarse_passes, None, correct=False)
+                       coarse_passes, None)
 
     # term 2: residual at fine resolution, single-plane int8 with exact
     # post-dot weights (hoisted-dot structure): only the table quantization
@@ -674,8 +653,7 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         3, n, n, n).transpose(1, 3, 2, 0)
     resid_passes = (fine_passes if resid_interp == interp
                     else _np_tap_weights(resid_interp, d))
-    got += _sim_passes(_gather_cells(r_table, p, n), resid_passes,
-                       None, correct=False)
+    got += _sim_passes(_gather_cells(r_table, p, n), resid_passes, None)
 
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),

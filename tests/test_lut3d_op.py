@@ -432,5 +432,7 @@ def test_even_sized_luts(n, rng):
         rr, gr, br = _reference(rs, gs, bs, lut, interp)
         np.testing.assert_allclose(np.asarray(ro), rr, atol=1e-4,
                                    err_msg=f"{n} {interp}")
+        np.testing.assert_allclose(np.asarray(go), gr, atol=1e-4,
+                                   err_msg=f"{n} {interp}")
         np.testing.assert_allclose(np.asarray(bo), br, atol=1e-4,
                                    err_msg=f"{n} {interp}")
