@@ -163,6 +163,19 @@ def output_fps(spec: RenderSpec, info: Optional[VideoInfo]) -> Fraction:
     return _fps_fraction(None, info.fps if info else None)
 
 
+# Bundled encoders that implement CRF rate control natively (AVOption
+# `crf`). libvpx-vp9's quantizer range is 0-63; constant-quality mode needs
+# b=0 (reference passthrough: /root/reference/src/lut_renderer/ffmpeg.py:
+# 323-325 trusts the encoder to honor -crf).
+NATIVE_CRF_CODECS = frozenset({"libvpx-vp9", "libvpx", "vp9"})
+
+
+def crf_mechanism(codec: str) -> str:
+    """How a CRF request is realized for `codec`: "native" (the encoder's
+    own crf option) or "qscale" (the mpeg4/mjpeg 1-31 quantizer shim)."""
+    return "native" if codec in NATIVE_CRF_CODECS else "qscale"
+
+
 def derive_encoder_settings(
     spec: RenderSpec,
     info: Optional[VideoInfo],
@@ -174,20 +187,33 @@ def derive_encoder_settings(
     pix_fmt = spec.pix_fmt or "yuv420p"
     tags = spec.color_tags
     qscale = None
+    crf = None
     if spec.crf:
-        # No CRF-rate-control encoder is bundled (no libx264/x265); map CRF
-        # onto MPEG-4/MJPEG qscale on x264's own rate model: bitrate halves
-        # per +6 CRF, and qscale is ~inverse-proportional to bitrate, so
-        #     qscale = q0 * 2^((crf - 23) / 6),  anchored at CRF 23 ~ q4
-        # ("default quality" on both scales). Monotonic, matches the rate
-        # DOUBLING behavior users expect from the CRF knob (calibrated by
-        # tests/test_engine.py::test_crf_mapping_rate_model); the policy
-        # layer notes the substitution.
+        mech = crf_mechanism(spec.video_codec)
         try:
-            qscale = max(1, min(31, round(4.0 * 2.0 **
-                                          ((float(spec.crf) - 23.0) / 6.0))))
+            crf_val = float(spec.crf)
         except ValueError:
-            qscale = None
+            crf_val = None
+        if crf_val is not None and mech == "native":
+            # libvpx-vp9 implements CRF natively (`crf` AVOption, quantizer
+            # range 0-63) — pass it through like the reference does for
+            # CRF-capable encoders (ffmpeg.py:323-325). The encoder layer
+            # adds b=0 for constant-quality mode when no bitrate is set
+            # (with a bitrate it is libvpx constrained quality, matching
+            # the ffmpeg CLI's own -crf/-b:v interaction).
+            crf = max(0, min(63, round(crf_val)))
+        elif crf_val is not None:
+            # No native-CRF mechanism for this codec in the bundled libs
+            # (no libx264/x265); map CRF onto MPEG-4/MJPEG qscale on x264's
+            # own rate model: bitrate halves per +6 CRF, and qscale is
+            # ~inverse-proportional to bitrate, so
+            #     qscale = q0 * 2^((crf - 23) / 6),  anchored at CRF 23 ~ q4
+            # ("default quality" on both scales). Monotonic, matches the
+            # rate DOUBLING behavior users expect from the CRF knob
+            # (calibrated by tests/test_engine.py::test_crf_mapping_rate_
+            # model); the policy layer notes the substitution.
+            qscale = max(1, min(31, round(4.0 * 2.0 **
+                                          ((crf_val - 23.0) / 6.0))))
     gop = spec.gop
     return EncoderSettings(
         codec=spec.video_codec,
@@ -203,6 +229,7 @@ def derive_encoder_settings(
         level=spec.level,
         threads=spec.threads,
         qscale=qscale,
+        crf=crf,
         color_primaries=tags.primaries,
         color_trc=tags.trc,
         colorspace=tags.colorspace,

@@ -128,6 +128,7 @@ class EncoderSettings:
     level: Optional[str] = None
     threads: Optional[str] = None
     qscale: Optional[int] = None       # for mpeg4/mjpeg-style rate control
+    crf: Optional[int] = None          # native CRF (libvpx-vp9, 0-63)
     color_primaries: Optional[str] = None
     color_trc: Optional[str] = None
     colorspace: Optional[str] = None
@@ -211,6 +212,15 @@ class VideoEncoder:
                 opts["colorspace"] = s.colorspace
             if s.color_range:
                 opts["color_range"] = s.color_range
+            if s.crf is not None:
+                # Native CRF (libvpx-vp9): the encoder's own `crf` AVOption
+                # on its 0-63 quantizer scale. Without a target bitrate,
+                # b=0 selects libvpx constant-quality mode (the ffmpeg CLI
+                # equivalent of `-crf N -b:v 0`); with one it is libvpx
+                # constrained quality, matching -crf/-b:v passthrough.
+                opts["crf"] = str(s.crf)
+                if not s.bitrate:
+                    opts["b"] = "0"
             if s.qscale is not None:
                 # Constant-quantizer via the ratecontrol clamp: qmin==qmax
                 # pins every frame's quantizer. (FLAG_QSCALE+global_quality

@@ -395,13 +395,26 @@ def build_render_spec(
 
         spec.crf = params.crf or None
         if spec.crf:
-            # Same degradation-notes honesty as other substitutions: no
-            # CRF-rate-control encoder is bundled, so the engine maps CRF
-            # onto qscale via x264's rate model (engine.config).
-            notes.append(
-                f"CRF {spec.crf}: no CRF encoder bundled; mapped to qscale "
-                f"~4*2^((crf-23)/6) (rate-doubling per +6, anchored CRF 23)"
-            )
+            # Per-codec CRF mechanism (engine.config.crf_mechanism):
+            # libvpx-vp9 honors its own crf option (0-63) like the
+            # reference's passthrough (ffmpeg.py:323-325); codecs without
+            # native CRF get the qscale substitution — noted honestly.
+            from ..engine.config import crf_mechanism
+
+            if crf_mechanism(params.video_codec) == "native":
+                notes.append(
+                    f"CRF {spec.crf}: native crf rate control "
+                    f"({params.video_codec}, quantizer scale 0-63"
+                    + ("" if params.bitrate else "; b=0 constant quality")
+                    + ")"
+                )
+            else:
+                notes.append(
+                    f"CRF {spec.crf}: no native-CRF encoder for "
+                    f"'{params.video_codec or 'default codec'}'; mapped to "
+                    f"qscale ~4*2^((crf-23)/6) (rate-doubling per +6, "
+                    f"anchored CRF 23)"
+                )
         spec.preset = params.preset or None
         spec.tune = params.tune or None
 

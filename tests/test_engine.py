@@ -272,6 +272,68 @@ def test_crf_mapping_rate_model():
     assert vals == sorted(vals)  # monotonic
 
 
+def test_crf_native_vp9_mapping():
+    """libvpx-vp9 gets the native crf option (0-63, clamped), NOT the
+    mpeg4 qscale shim; the policy note names the mechanism used."""
+    from lut_renderer_tpu.engine.config import (crf_mechanism,
+                                                derive_encoder_settings)
+    from lut_renderer_tpu.models import ProcessingParams
+    from lut_renderer_tpu.plan.policy import RenderSpec, build_render_spec
+
+    assert crf_mechanism("libvpx-vp9") == "native"
+    assert crf_mechanism("mpeg4") == "qscale"
+
+    def settings(crf, codec="libvpx-vp9"):
+        spec = RenderSpec(source=Path("a.mp4"), output=Path("b.webm"),
+                          video_codec=codec, crf=str(crf))
+        return derive_encoder_settings(spec, None, 64, 64)
+
+    s = settings(31)
+    assert s.crf == 31 and s.qscale is None
+    assert settings(99).crf == 63      # clamp to vp9's quantizer range
+    assert settings(-5).crf == 0
+    # the qscale shim still applies to codecs without native CRF
+    m = settings(23, codec="mpeg4")
+    assert m.qscale == 4 and m.crf is None
+
+    # policy note names the mechanism per codec
+    notes = []
+    p_vp9 = ProcessingParams(video_codec="libvpx-vp9", crf="31")
+    build_render_spec(Path("a.mp4"), Path("b.webm"), p_vp9, notes=notes)
+    assert any("native crf" in n for n in notes), notes
+    notes = []
+    p_m4 = ProcessingParams(video_codec="mpeg4", crf="31")
+    build_render_spec(Path("a.mp4"), Path("b.mp4"), p_m4, notes=notes)
+    assert any("qscale" in n for n in notes), notes
+
+
+def test_crf_drives_encoded_size_vp9(tmp_path):
+    """vp9 analog of the mpeg4 size-ordering test: the native crf option
+    must actually drive the bundled libvpx-vp9 encoder (higher CRF ->
+    smaller file in b=0 constant-quality mode)."""
+    import cv2
+
+    from lut_renderer_tpu.plan.policy import RenderSpec
+
+    clip = tmp_path / "n.mp4"
+    wr = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"mp4v"),
+                         25.0, (96, 64))
+    nrng = np.random.default_rng(0)
+    for _ in range(6):
+        wr.write(nrng.integers(0, 255, (64, 96, 3)).astype(np.uint8))
+    wr.release()
+    info = probe_video(clip)
+    sizes = {}
+    for crf in ("10", "55"):
+        out = tmp_path / f"crf{crf}.webm"
+        spec = RenderSpec(source=clip, output=out, video_codec="libvpx-vp9",
+                          crf=crf)
+        res = run_stage(spec, info, None, lut_strategy="gather")
+        assert res.ok, res.error
+        sizes[crf] = out.stat().st_size
+    assert sizes["10"] > sizes["55"]
+
+
 def test_crf_drives_encoded_size(tmp_path):
     """Higher CRF -> coarser qscale -> smaller file (end-to-end through the
     real encoder)."""
