@@ -57,11 +57,137 @@ TOPICS: Dict[str, str] = {
   set, the policy also pins maxrate = bitrate and bufsize = 2x bitrate
   (the reference's stabilization rule) so rate spikes stay bounded.""",
     "crf": """\
---crf N (0-51, x264 scale)
-  Constant-quality knob. No CRF-rate-control encoder is bundled, so CRF
-  maps onto an MPEG-4/MJPEG constant quantizer via x264's own rate model:
-  qscale = 4 * 2^((crf - 23) / 6) — bitrate halves per +6 CRF, anchored at
-  CRF 23 ~ q4. The mapping is noted in the task log.""",
+--crf N (x264 scale; lower = higher quality, bigger file)
+  Constant-quality knob: the encoder raises the rate on complex frames and
+  lowers it on simple ones, keeping perceived quality stable. Typical
+  x264 practice is 18-23. Usually set EITHER crf OR bitrate, not both.
+  Per-codec mechanism here: libvpx-vp9 honors its native crf option
+  (0-63 scale, clamped; with no bitrate set the encoder runs b=0
+  constant-quality, with one it runs constrained quality). Codecs without
+  native CRF (mpeg4, mjpeg) get a constant quantizer via x264's rate
+  model: qscale = 4 * 2^((crf - 23) / 6) — bitrate halves per +6 CRF,
+  anchored at CRF 23 ~ q4. Either way the task log notes the mechanism.""",
+    "lut": """\
+--lut FILE.cube
+  The 3D look-up table mapping input colors to output colors — color-space
+  or gamma conversion (Log -> Rec.709) and creative grades. A matching
+  conversion LUT gets log footage to a deliverable look quickly; a
+  mismatched one causes casts, broken skin tones, crushed/clipped detail.
+  Troubleshooting: washed-out output usually means a missing Log->709
+  conversion; oversaturated/over-contrasty output usually means the
+  conversion was applied twice or the LUT doesn't match the source.
+  Applied on the TPU by the Pallas MXU kernel (the engine's lut3d).""",
+    "preset": """\
+--enc-preset NAME
+  Speed/efficiency trade for encoders that support it (ultrafast ...
+  veryslow on the x264 family). Slower presets analyze harder and shrink
+  files at equal quality; they never change resolution or frame rate.
+  Bundled encoders here mostly ignore it (ProRes/FFV1/mpeg4 have no
+  preset ladder; libvpx-vp9 uses deadline/cpu-used internally); the value
+  is plumbed through like the reference passes -preset, and encoders that
+  don't know it simply skip it.""",
+    "tune": """\
+--tune NAME
+  Content-specific tuning for encoders that support it (x264: film,
+  animation, grain, stillimage, fastdecode, zerolatency). Plumbed through
+  like the reference; the bundled encoder set has no tune-aware codec, so
+  it is a no-op here unless such an encoder is present at run time.""",
+    "profile": """\
+--enc-profile NAME
+  Codec profile: capability envelope vs compatibility. H.264: baseline
+  (max compatibility, fewest features) / main / high. ProRes (prores_ks):
+  numeric profile 0-5 = proxy/LT/standard/HQ (pro masters use 3 = 422 HQ)
+  /4444/4444XQ. Leave blank to let the encoder pick.""",
+    "level": """\
+--level N
+  Codec level: caps stream complexity (max resolution/fps/bitrate/
+  reference frames) so target hardware decoders are guaranteed to cope.
+  Too high: old devices refuse to hardware-decode. Too low: the encoder
+  must degrade quality or error out. Leave blank (auto) unless a delivery
+  spec names one (e.g. H.264 4.1/5.1).""",
+    "threads": """\
+--threads N (blank = auto)
+  Encoder thread count. The ffmpeg binary auto-threads encoders; a raw
+  libavcodec context does not — this engine passes threads=auto by
+  default to match the reference's effective behavior. Set a number to
+  bound encoder CPU use (e.g. while editing alongside a batch). Note the
+  TPU render stage is unaffected; threads only shapes the host encode.""",
+    "audio_bitrate": """\
+--audio-bitrate N[k] (blank = encoder default)
+  Target audio bitrate for transcoded audio (aac). Higher keeps more
+  detail, lower risks high-frequency loss and compression artifacts.
+  128k is fine for speech/general video, 192k+ for music. Ignored when
+  the audio codec is copy.""",
+    "sample_rate": """\
+--sample-rate N (blank = source)
+  Audio sample rate; 48000 is the video-industry standard, 44100 the
+  CD/music one. Changing it forces a resample — leave blank to keep the
+  source rate and avoid one. Ignored with audio copy.""",
+    "channels": """\
+--channels N (blank = source)
+  Output channel count. 2 (stereo) is the most compatible for web/mobile;
+  keeping a multichannel source preserves spatial audio for home-theater
+  delivery. Changing the count triggers a downmix/upmix, which can shift
+  loudness. Ignored with audio copy.""",
+    "faststart": """\
+--faststart
+  Moves the MP4/MOV index (moov atom) to the file head so playback can
+  start before the download finishes — the thing to enable for web/cloud
+  preview delivery. No quality impact; the muxer rewrites the container
+  once at the end. No effect on non-MP4-family containers.""",
+    "overwrite": """\
+overwrite behavior
+  Output naming never clobbers existing files: collisions get _1, _2...
+  suffixes, and only the exact resolved output path is overwritten when a
+  task re-runs (the reference's -y applies the same way). There is no
+  flag to disable this; reprocessing a task picks a fresh name.""",
+    "cover": """\
+--cover
+  Saves the output's first decodable frame as stem_cover.jpg next to the
+  output — a poster/preview image for file managers and media libraries.
+  Adds one tiny extraction pass after the encode; the video itself is
+  untouched. If your first frame is a slate/black, trim first or grab a
+  better frame manually.""",
+    "inherit_metadata": """\
+--no-inherit-metadata
+  Color metadata (primaries, transfer, matrix, range) tells players how
+  to interpret pixels. By default the policy inherits the source's tags
+  when no LUT forces bt709 tagging — keeping cross-player appearance
+  stable. Disabling it leaves outputs untagged unless the LUT tag policy
+  writes them. Remember tags are labels, not conversions: a Log source
+  still needs a conversion LUT regardless of tagging.""",
+    "force_cfr": """\
+--no-force-cfr
+  VFR (variable frame rate — phones, screen recordings) breaks timeline
+  sync in many NLEs, so VFR sources are forced to constant frame rate at
+  the source rate by default (duplicate/drop against target timestamps,
+  the reference's rule). CFR sources pass through untouched. Disable only
+  if you must preserve original timestamps and your downstream tools
+  handle VFR.""",
+    "master_dir": """\
+--master-dir DIR (pro mode)
+  Where stage 1 writes the intermediate ProRes 422 HQ master. Pro mode
+  refuses to start without it (the reference behaves the same). Pick a
+  roomy local disk: the estimator plans 220 Mbps at 1080p30 scaled by
+  w*h*fps and warns when the total crowds free space. Masters are
+  deleted after success AND after failure/cancel (improvement over the
+  reference, which can leak them).""",
+    "out_dir": """\
+--out-dir DIR (blank = <source>/output)
+  Destination for outputs. Blank uses an output/ folder beside each
+  source (created on demand), the reference's default. Batch jobs onto a
+  partition with room; keep projects in separate directories for easy
+  archiving.""",
+    "hardware": """\
+TPU hardware notes
+  The pixel path (YUV<->RGB, range, chroma resampling, 3D-LUT, dither,
+  quantization) runs fused on the TPU; decode/encode run on the host via
+  the bundled FFmpeg libraries. One chip time-slices between concurrent
+  tasks; multi-chip pods shard frames across chips over ICI (batch axis)
+  with the LUT replicated — no cross-chip traffic per frame. First use of
+  a new (shape, LUT-size, tier) combination compiles a program (seconds
+  to ~a minute); compiled programs land in a persistent cache, so warm
+  runs start instantly.""",
     "fps": """\
 --fps N (blank = passthrough) / --no-force-cfr
   Setting fps forces constant frame rate at that rate (duplicate/drop on
@@ -70,8 +196,11 @@ TOPICS: Dict[str, str] = {
   defaults the same way). GOP defaults to round(fps) when unset.""",
     "gop": """\
 --gop N (blank = auto)
-  Keyframe interval. Blank: round(fps) — about one keyframe per second,
-  the reference's rule.""",
+  Keyframe (I-frame) interval. Longer GOPs compress better but make
+  scrubbing/edit-point seeking coarser; shorter GOPs are edit-friendly
+  but bigger. Blank: round(fps) — about one keyframe per second, the
+  reference's rule (a conservative, NLE-friendly default; distribution
+  encodes often stretch to 2x fps).""",
     "interp": """\
 --interp tetrahedral|trilinear|nearest|pyramid|prism
   3D-LUT interpolation. tetrahedral (default) matches FFmpeg lut3d's
@@ -144,8 +273,19 @@ ALIASES = {
     "zscale_dither": "dither", "lut_input_matrix": "input_matrix",
     "lut_output_tags": "output_tags", "tags": "output_tags",
     "matrix": "input_matrix", "save-queue": "queue", "resume": "queue",
-    "reapply": "queue", "master-dir": "mode", "pro": "mode", "fast": "mode",
-    "monitor": "watch", "output": "naming", "audio-codec": "audio",
+    "reapply": "queue", "master-dir": "master_dir", "pro": "mode",
+    "fast": "mode", "monitor": "watch", "output": "naming",
+    "audio-codec": "audio",
+    # one topic per ProcessingParams field (reference help-parity,
+    # main_window.py:1269-1622): field names resolve directly.
+    "video_codec": "codec", "audio_codec": "audio",
+    "processing_mode": "mode", "generate_cover": "cover",
+    "inherit_color_metadata": "inherit_metadata",
+    "enc-preset": "preset", "enc-profile": "profile",
+    "audio-bitrate": "audio_bitrate", "sample-rate": "sample_rate",
+    "out-dir": "out_dir", "output-dir": "out_dir",
+    "intermediate_dir": "master_dir", "tpu": "hardware",
+    "pix-fmt": "pix_fmt",
 }
 
 

@@ -328,6 +328,26 @@ def test_cli_help_topics(capsys):
     assert cli_main(["help", "nope"]) == 1
 
 
+def test_help_covers_every_processing_param_field():
+    """Full per-field help parity (VERDICT r2 #7): every ProcessingParams
+    field name resolves to a real topic via help_text, as do the mode/
+    concurrency/hardware topics of the reference's popup system."""
+    import dataclasses
+
+    from lut_renderer_tpu.app.help import help_text
+    from lut_renderer_tpu.models import ProcessingParams
+
+    for f in dataclasses.fields(ProcessingParams):
+        if f.name.startswith("_"):
+            continue
+        text = help_text(f.name)
+        assert "unknown topic" not in text, f.name
+        assert len(text) > 120, (f.name, "topic too thin")
+    for extra in ("mode", "concurrency", "hardware", "lut", "master_dir",
+                  "out_dir", "watch", "queue", "naming", "precision"):
+        assert "unknown topic" not in help_text(extra), extra
+
+
 def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     """Cache dir resolution: env var wins (empty disables), settings next,
     platform cache dir default; enabling is idempotent and points JAX at
