@@ -64,14 +64,20 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 1024
     if n <= 49:
         return 512
-    if mode in ("int8", "int8_fast", "int8_lite") and n_passes == 1:
-        return 512
+    if mode in ("int8", "int8_fast", "int8_lite"):
+        # direct int8 tiers at N=65 swept on v5e (experiments/
+        # r3_65cube_ablate*.py): tetra int8_lite 72.0 ms at 256 ->
+        # 62.8 at 512 -> 60.2 at 1024 (the K ~ N^2/4 masks leave VMEM
+        # headroom for the single plane)
+        return 1024
     return 256
 
 
 # Merged coarse+residual kernel block size (N >= 49): the resid masks
-# (K ~ N^2/4 per quadrant x BM) are the VMEM heavyweight; swept on v5e.
-_COARSE2_BM = 1024
+# (K ~ N^2/4 per quadrant x BM) are the VMEM heavyweight; swept on v5e
+# round 3 (experiments/r3_65cube_ablate.py): 4K 65-cube tetra 80.1 ms at
+# 512 / 76.2 at 1024 / 71.3 at 2048.
+_COARSE2_BM = 2048
 
 
 def lut3d_tpu_available() -> bool:

@@ -148,15 +148,18 @@ class PreparedLut:
         # accurate, and the ladder tries it first.
         ladder = ["fast", "int8_lite", "int8_fast"]
         if self.coarse is not None:
-            # Coarse-term numerics: "f" = detrended bf16-hi, "" = int8
-            # pair, "x" = detrended bf16 pair. Residual terms are
-            # near-exact by construction; all tiers share the hoisted-dot
-            # structure, so pass count no longer multiplies the MXU time.
-            # (an int4-residual rung "coarse2q" was built and measured:
-            # 73.8 vs 75.1 ms — the 65-cube kernel is not dot-bound, and
-            # int4 constants break JAX eager dispatch; reverted, FINDINGS)
-            ladder = ["coarse2f", "coarse2", "coarse2x",
-                      "fast", "int8_lite", "int8_fast"]
+            # N >= 49 cost order re-measured round 3 at 4K/65^3 tetra
+            # (experiments/r3_65cube_ablate.py, swept blocks): DIRECT
+            # single-plane int8_lite 60.2 ms < merged coarse2f 71.3 <
+            # coarse2 85 < fast 92 < int8_fast 107 — the one-plane dot
+            # over the full fine table beats the coarse+residual pair of
+            # dots whenever its detrended-rowmax/254 table error clears
+            # the gate. Coarse-term numerics: "f" = detrended bf16-hi,
+            # "" = int8 pair, "x" = detrended bf16 pair. (int4-residual
+            # "coarse2q" was built and measured ~equal; reverted, see
+            # FINDINGS.)
+            ladder = ["int8_lite", "coarse2f", "coarse2", "fast",
+                      "int8_fast", "coarse2x"]
         choice = "exact"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
