@@ -65,7 +65,7 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 49:
         return 512
     if mode in ("int8", "int8_fast", "int8_lite"):
-        # direct int8 tiers at N=65 swept on v5e (experiments/
+        # direct int8/int4 tiers at N=65 swept on v5e (experiments/
         # r3_65cube_ablate*.py): tetra int8_lite 72.0 ms at 256 ->
         # 62.8 at 512 -> 60.2 at 1024 (the K ~ N^2/4 masks leave VMEM
         # headroom for the single plane)
@@ -221,11 +221,13 @@ def _passes_for_interp(interp, pr, nr, dr, pg, ng, dg, pb, nb, db, n):
 
 def _fused_kernel_int8(n: int, interp: str, pair: bool,
                        widths, dmin, dmax, rgb_ref, lq_ref, s_ref,
-                       out_ref):
-    """Fused-taps int8 kernel: raw RGB f32 rows in, coordinates and per-pass
-    tap weights computed IN-kernel (the math is shape-agnostic, running on
-    (1, BM) rows), which drops the per-pixel HBM round trip from 15 rows
-    (idx3 + weight stack) to 3 and removes the XLA-side tap fusion cluster."""
+                       out_ref, mdt=jnp.int8):
+    """Fused-taps int8/int4 kernel: raw RGB f32 rows in, coordinates and
+    per-pass tap weights computed IN-kernel (the math is shape-agnostic,
+    running on (1, BM) rows), which drops the per-pixel HBM round trip from
+    15 rows (idx3 + weight stack) to 3 and removes the XLA-side tap fusion
+    cluster. mdt = the mask/LUT operand dtype (jnp.int4 for the int4-pair
+    tier on the chip; int8 containers under interpret)."""
     rgb = rgb_ref[:]                    # (3, BM) f32 in [0, 1]
     bm = rgb.shape[1]
     pr, nr, dr = _scaled_coords(rgb[0:1, :], n, dmin[0], dmax[0])
@@ -237,7 +239,7 @@ def _fused_kernel_int8(n: int, interp: str, pair: bool,
     wall = jnp.concatenate([p.reshape(6, bm) for p in passes], axis=0)
     _write_out(out_ref, _int8_quad_body(n, len(passes),
                                         widths, idx, wall, lq_ref, s_ref,
-                                        pair=pair))
+                                        pair=pair, mdt=mdt))
 
 
 def _parity_split(p, n):
@@ -330,7 +332,7 @@ def _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g, iota):
 
 
 def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref,
-                    acc=None, pair=True):
+                    acc=None, pair=True, mdt=jnp.int8):
     """Parity-quadrant int8 contraction body: stacked [q1; q2] int8 LUT pair
     in prepare.quad_permute column layout — the K axis split into four
     (b even/odd x g even/odd) blocks, so within each block every pixel is
@@ -368,7 +370,7 @@ def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref,
     if acc is None:
         acc = [None, None, None]
     for q in range(4):
-        m8 = jnp.where(masks[q], 1.0, 0.0).astype(jnp.int8)
+        m8 = jnp.where(masks[q], 1.0, 0.0).astype(mdt)
         d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
                     preferred_element_type=jnp.int32)
         df = d.astype(jnp.float32)
@@ -559,8 +561,54 @@ def _unfolded_pair_scales(prep) -> np.ndarray:
                           axis=0)
 
 
+def kernel_operands(prep: PreparedLut, interp: str,
+                    precision: str = "auto") -> dict:
+    """The table operand arrays for the resolved precision, as a dict of
+    numpy arrays.
+
+    Purpose: LUT-AGNOSTIC compiled programs. apply_lut_planes historically
+    closed over these arrays, baking the LUT into the jitted program as
+    constants — so every new .cube file recompiled (~100 s through the
+    remote-compile tunnel). Passing this dict as a jit ARGUMENT instead
+    keys the program by (shapes, N, tier, interp, domain) only: any LUT of
+    the same size/tier reuses the compiled program, and a warmed persistent
+    cache serves never-seen LUTs with zero compiles (engine.warmup)."""
+    precision = prep.resolve_precision(interp, precision)
+    rows_pad = prep.rows_pad
+    if precision.startswith("coarse") and prep.coarse is not None:
+        cp = prep.coarse
+        coarse_mode = ("exact" if precision.startswith("coarse2x")
+                       else "fast" if precision.startswith("coarse2f")
+                       else "int8_fast")
+        if coarse_mode == "int8_fast":
+            lc = cp.lmat_qp
+            sc = _unfolded_pair_scales(cp).astype(np.float32)
+        elif coarse_mode == "fast":
+            lc = cp.lmat_bf_qp[:cp.rows_pad]
+            sc = np.zeros((8, 1), np.float32)
+        else:
+            lc = cp.lmat_bf_qp
+            sc = np.zeros((8, 1), np.float32)
+        return {
+            "lr": prep.resid_qp,
+            "sr": (prep.resid_scale * 127.0).astype(np.float32),
+            "lc": lc,
+            "sc": sc,
+        }
+    if precision in ("int8", "int8_fast"):
+        return {"lq": prep.lmat_qp,
+                "sv": _unfolded_pair_scales(prep).astype(np.float32)}
+    if precision == "int8_lite":
+        return {"lq": prep.lmat_qp[:rows_pad],
+                "sv": (prep.scale_q1 * 254.0).astype(np.float32)}
+    if precision == "fast":
+        return {"la": prep.lmat_bf_qp[:rows_pad]}
+    # "exact" and anything unrecognized lands on the bf16 pair
+    return {"la": prep.lmat_bf_qp}
+
+
 def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
-               interpret: bool) -> jnp.ndarray:
+               interpret: bool, ops=None) -> jnp.ndarray:
     """Fused-taps launch: (3, P) f32 RGB in, coordinates/weights computed
     inside the kernel (3 HBM rows/pixel instead of 15 + no XLA tap cluster).
     Covers the exact/fast/int8 tiers; coarse2 launches the MERGED
@@ -575,6 +623,8 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
     assert npix % bm == 0
     dmin = tuple(float(v) for v in prep.domain_min)
     dmax = tuple(float(v) for v in prep.domain_max)
+    if ops is None:
+        ops = kernel_operands(prep, interp, mode)
 
     if mode in ("int8", "int8_fast", "int8_lite"):
         # "int8" (the historical weight-pair tier) is an alias of
@@ -583,14 +633,9 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
         # is the q1 plane alone: half the dot at detrended-rowmax/254
         # table error, per-LUT gated.
         pair = mode != "int8_lite"
-        if pair:
-            lq = jnp.asarray(prep.lmat_qp, jnp.int8)
-            sv = jnp.asarray(_unfolded_pair_scales(prep), jnp.float32)
-            l_rows = 2 * rows_pad
-        else:
-            lq = jnp.asarray(prep.lmat_qp[:rows_pad], jnp.int8)
-            sv = jnp.asarray(prep.scale_q1 * 254.0, jnp.float32)
-            l_rows = rows_pad
+        lq = jnp.asarray(ops["lq"], jnp.int8)
+        sv = jnp.asarray(ops["sv"], jnp.float32)
+        l_rows = 2 * rows_pad if pair else rows_pad
         ktot = lq.shape[1]
         kernel = functools.partial(_fused_kernel_int8, n,
                                    interp, pair, prep.quad_widths,
@@ -614,9 +659,7 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
         return out[:3]
 
     exact = mode != "fast"
-    lmat_a = jnp.asarray(
-        prep.lmat_bf_qp if exact else prep.lmat_bf_qp[:rows_pad],
-        jnp.bfloat16)
+    lmat_a = jnp.asarray(ops["la"], jnp.bfloat16)
     a_rows = 2 * rows_pad if exact else rows_pad
     kernel = functools.partial(_fused_kernel_bf16, n,
                                interp, exact, prep.quad_widths, dmin, dmax)
@@ -637,7 +680,7 @@ def _run_fused(rgb3, prep, n: int, interp: str, mode: str,
 
 
 def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
-                       interpret: bool) -> jnp.ndarray:
+                       interpret: bool, ops=None) -> jnp.ndarray:
     """Fused-taps coarse+residual launch: every kernel takes the raw (3, P)
     RGB rows and rebuilds coordinates in-kernel — the redundant (1, BM)-row
     math is far cheaper than the 15-27 rows/pixel of HBM tap traffic it
@@ -667,21 +710,15 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     m = cp.size
     rows_f = prep.rows_pad
     rows_m = cp.rows_pad
-    lr = jnp.asarray(prep.resid_qp, jnp.int8)
-    sr = jnp.asarray(prep.resid_scale * 127.0, jnp.float32)  # unfolded
+    if ops is None:
+        ops = kernel_operands(prep, interp, precision)
+    lr = jnp.asarray(ops["lr"], jnp.int8)
+    sr = jnp.asarray(ops["sr"], jnp.float32)  # unfolded
     rwidths = prep.resid_quad_widths
-    if coarse_mode == "int8_fast":
-        lc = jnp.asarray(cp.lmat_qp, jnp.int8)
-        sc = jnp.asarray(_unfolded_pair_scales(cp), jnp.float32)
-        c_rows = 2 * rows_m
-    elif coarse_mode == "fast":
-        lc = jnp.asarray(cp.lmat_bf_qp[:rows_m], jnp.bfloat16)  # hi only
-        sc = jnp.zeros((8, 1), jnp.float32)
-        c_rows = rows_m
-    else:
-        lc = jnp.asarray(cp.lmat_bf_qp, jnp.bfloat16)
-        sc = jnp.zeros((8, 1), jnp.float32)
-        c_rows = 2 * rows_m
+    lc_dt = jnp.int8 if coarse_mode == "int8_fast" else jnp.bfloat16
+    lc = jnp.asarray(ops["lc"], lc_dt)
+    sc = jnp.asarray(ops["sc"], jnp.float32)
+    c_rows = rows_m if coarse_mode == "fast" else 2 * rows_m
     kc = lc.shape[1]
 
     npix = rgb3.shape[1]
@@ -748,8 +785,13 @@ def apply_lut_planes(
     strategy: str = "mxu",
     precision: str = "auto",
     interpret: bool = False,
+    operands=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply a prepared 3D LUT to planar float RGB in [0,1].
+
+    operands: optional dict from kernel_operands(prep, interp, precision)
+    — pass it as a jit ARGUMENT (after jax.device_put) to keep compiled
+    programs LUT-agnostic; None bakes the tables in as constants.
 
     r/g/b: arbitrary same-shaped float arrays (typically (H, W)).
     strategy: "mxu" (Pallas kernel) or "gather" (XLA gather fallback — exact
@@ -771,11 +813,13 @@ def apply_lut_planes(
     n = prep.size
 
     if strategy == "gather":
+        table = jnp.asarray(operands["table"] if operands is not None
+                            and "table" in operands else prep.table)
         rgb = jnp.stack([r, g, b], axis=-1)
         out = colorcore.apply_lut(
-            rgb, jnp.asarray(prep.table), interp, xp=jnp
+            rgb, table, interp, xp=jnp
         ) if prep.has_unit_domain else colorcore.interp._FUNCS[interp](
-            rgb, jnp.asarray(prep.table), prep.domain_min, prep.domain_max, xp=jnp
+            rgb, table, prep.domain_min, prep.domain_max, xp=jnp
         )
         return out[..., 0], out[..., 1], out[..., 2]
 
@@ -796,9 +840,11 @@ def apply_lut_planes(
 
     rgb3 = jnp.stack([rf, gf, bf]).astype(jnp.float32)
     if coarse2:
-        out = _run_coarse2_fused(rgb3, prep, n, interp, precision, interpret)
+        out = _run_coarse2_fused(rgb3, prep, n, interp, precision, interpret,
+                                 ops=operands)
     else:
-        out = _run_fused(rgb3, prep, n, interp, precision, interpret)
+        out = _run_fused(rgb3, prep, n, interp, precision, interpret,
+                         ops=operands)
     ro, go, bo = out[0], out[1], out[2]
     if pad:
         ro, go, bo = ro[:npix], go[:npix], bo[:npix]

@@ -501,8 +501,6 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
         if mode != "int8_lite":
             qt_flat = qt_flat + prep.lmat_q2[:rows].astype(np.float32) * s2
         qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
-        # hoisted-dot structure: the (g,b) corner weights are exact f32
-        # post-dot factors — no weight quantization, no sum correction
         w_quant = lambda w: w  # noqa: E731
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -93,9 +93,12 @@ def render_yuv_frame(
     prep: Optional[PreparedLut],
     cfg: RenderConfig,
     interpret: bool = False,
+    lut_operands=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frame through the fused pipeline. Inputs are integer code-value
-    planes (uint8/uint16) at cfg.in_depth with cfg.in_subsampling chroma."""
+    planes (uint8/uint16) at cfg.in_depth with cfg.in_subsampling chroma.
+    lut_operands: optional table-operand dict (lut3d.kernel_operands) so the
+    jitted program stays LUT-agnostic — see make_render_fn."""
     yf = y.astype(jnp.float32)
     uf = u.astype(jnp.float32)
     vf = v.astype(jnp.float32)
@@ -124,6 +127,7 @@ def render_yuv_frame(
         r, g, b = apply_lut_planes(
             r, g, b, prep, cfg.interp, strategy=cfg.lut_strategy,
             precision=cfg.lut_precision, interpret=interpret,
+            operands=lut_operands,
         )
 
     # 4b. optional resolution change (policy `-s`), bilinear in RGB
@@ -155,6 +159,21 @@ def render_yuv_frame(
     return yq, uq, vq
 
 
+def lut_operands_for(prep: Optional[PreparedLut], cfg: RenderConfig):
+    """The LUT table operands for this (prep, cfg) as numpy arrays, or None
+    when no LUT applies. Passing these as jit arguments (device_put once)
+    keeps compiled programs LUT-AGNOSTIC: any .cube of the same size/tier
+    reuses the program, so a warmed persistent cache serves never-seen LUTs
+    with zero compiles (the serving story; engine.warmup)."""
+    if prep is None or not cfg.apply_lut:
+        return None
+    if cfg.lut_strategy == "gather":
+        return {"table": prep.table}
+    from .lut3d import kernel_operands
+
+    return kernel_operands(prep, cfg.interp, cfg.lut_precision)
+
+
 def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
                    batched: bool = True, interpret: bool = False):
     """Build a jitted render function.
@@ -164,8 +183,17 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
     (B, H, W) / (B, Hc, Wc) inputs flow through the SAME code path as single
     frames — no vmap-over-pallas_call needed (which also sidesteps a Mosaic
     batching lowering failure observed on the chip).
+
+    The LUT table operands ride as a jit ARGUMENT (device_put once here),
+    not as baked constants, so the compiled program depends only on shapes,
+    LUT size, tier, interp, and domain — not the table values.
     """
     del batched  # retained for API compatibility; shape-polymorphic anyway
+    ops_np = lut_operands_for(prep, cfg)
     fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
                            interpret=interpret)
-    return jax.jit(lambda y, u, v: fn(y, u, v))
+    if ops_np is None:
+        return jax.jit(lambda y, u, v: fn(y, u, v))
+    ops_dev = jax.device_put(ops_np)
+    jitted = jax.jit(lambda y, u, v, ops: fn(y, u, v, lut_operands=ops))
+    return lambda y, u, v: jitted(y, u, v, ops_dev)

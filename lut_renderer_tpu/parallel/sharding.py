@@ -48,15 +48,23 @@ def make_sharded_render_fn(
     collectives; scaling rides ICI-local HBM only.
     """
     spec = P(FRAME_AXIS)
+    from ..ops.render import lut_operands_for
 
-    def step(y, u, v):
-        return render_yuv_frame(y, u, v, prep, cfg, interpret=interpret)
+    ops_np = lut_operands_for(prep, cfg)
 
+    def step(y, u, v, ops):
+        return render_yuv_frame(y, u, v, prep, cfg, interpret=interpret,
+                                lut_operands=ops)
+
+    # LUT table operands ride as a REPLICATED argument (P() on every leaf):
+    # device_put once below, so the compiled pod program is LUT-agnostic
+    # and no per-step operand traffic crosses ICI.
+    ops_spec = jax.tree.map(lambda _: P(), ops_np)
     if hasattr(jax, "shard_map"):  # public API (JAX >= 0.6)
         sharded = jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=(spec, spec, spec, ops_spec),
             out_specs=(spec, spec, spec),
             check_vma=False,
         )
@@ -66,11 +74,14 @@ def make_sharded_render_fn(
         sharded = shard_map(
             step,
             mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=(spec, spec, spec, ops_spec),
             out_specs=(spec, spec, spec),
             check_rep=False,
         )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    ops_dev = (None if ops_np is None else jax.device_put(
+        ops_np, NamedSharding(mesh, P())))
+    return lambda y, u, v: jitted(y, u, v, ops_dev)
 
 
 def put_sharded(mesh: Mesh, *arrays):

@@ -242,6 +242,72 @@ def test_coarse2_identity_lut_near_exact():
     np.testing.assert_allclose(np.asarray(bo), b, atol=2e-3)
 
 
+def test_lut_agnostic_program_reuse(rng):
+    """The table operands ride as jit ARGUMENTS (lut3d.kernel_operands):
+    two different LUTs of the same size/tier must share ONE compiled
+    program (no retrace), and feeding LUT B's operands through a function
+    traced with LUT A must produce LUT B's results. This is the serving
+    contract: a warmed cache runs never-seen .cube files with 0 compiles."""
+    import jax
+
+    from lut_renderer_tpu.ops.lut3d import kernel_operands
+
+    def noisy(seed):
+        lut = Lut3D.identity(33)
+        r2 = np.random.default_rng(seed)
+        lut.table = np.clip(
+            lut.table + r2.uniform(-0.04, 0.04, lut.table.shape
+                                   ).astype(np.float32), 0, 1)
+        return lut
+
+    lut_a, lut_b = noisy(1), noisy(2)
+    prep_a, prep_b = prepare_lut(lut_a), prepare_lut(lut_b)
+
+    @jax.jit
+    def f(r, g, b, ops):
+        return apply_lut_planes(r, g, b, prep_a, "tetrahedral",
+                                precision="int8_fast", interpret=True,
+                                operands=ops)
+
+    r = rng.uniform(0, 1, (8, 128)).astype(np.float32)
+    g = rng.uniform(0, 1, (8, 128)).astype(np.float32)
+    b = rng.uniform(0, 1, (8, 128)).astype(np.float32)
+    ops_a = kernel_operands(prep_a, "tetrahedral", "int8_fast")
+    ops_b = kernel_operands(prep_b, "tetrahedral", "int8_fast")
+    out_a = f(r, g, b, ops_a)
+    n_compiles = f._cache_size()
+    out_b = f(r, g, b, ops_b)
+    assert f._cache_size() == n_compiles  # no retrace for the new LUT
+    # and the values are LUT B's, not LUT A's
+    rb, gb, bb = _reference(r, g, b, lut_b, "tetrahedral")
+    np.testing.assert_allclose(np.asarray(out_b[0]), rb, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_b[2]), bb, atol=2e-3)
+    ra, _, _ = _reference(r, g, b, lut_a, "tetrahedral")
+    assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
+
+
+def test_make_render_fn_operand_args(rng):
+    """make_render_fn passes the LUT operands as device arguments; results
+    must match the direct (constant-baked) render path exactly."""
+    from lut_renderer_tpu.ops.render import (RenderConfig, make_render_fn,
+                                             render_yuv_frame)
+
+    lut = Lut3D.identity(17)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.03, 0.03, lut.table.shape
+                                ).astype(np.float32), 0, 1)
+    prep = prepare_lut(lut)
+    cfg = RenderConfig(interp="tetrahedral", lut_strategy="mxu")
+    y = rng.integers(16, 236, (2, 32, 128), dtype=np.uint8)
+    u = rng.integers(16, 241, (2, 16, 64), dtype=np.uint8)
+    v = rng.integers(16, 241, (2, 16, 64), dtype=np.uint8)
+    fn = make_render_fn(prep, cfg, interpret=True)
+    got = fn(y, u, v)
+    want = render_yuv_frame(y, u, v, prep, cfg, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_noisy_lut_auto_tier_clears_budget():
     """A noise LUT is the adversarial case for every reduced tier: whatever
     auto resolves to must still clear the simulated dE76 budget."""
