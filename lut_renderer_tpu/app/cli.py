@@ -464,6 +464,15 @@ def cmd_doctor(args) -> int:
                   " gather path")
     except Exception as exc:
         report("jax devices", False, str(exc)[:80])
+    if getattr(args, "warmup", False):
+        from ..engine.warmup import warmup_programs
+        from ..utils.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
+        print("warmup:")
+        recs = warmup_programs(log=lambda m: print("  " + m))
+        if any(not r["ok"] for r in recs):
+            ok = False
     print("overall:", "ok" if ok else "problems found")
     return 0 if ok else 1
 
@@ -476,6 +485,12 @@ def cmd_serve(args) -> int:
     from .server import QueueServer
 
     enable_persistent_compile_cache()
+    if getattr(args, "warmup", False):
+        from ..engine.warmup import warmup_programs
+
+        print("warming the production program set "
+              "(persistent cache makes this one-time per machine):")
+        warmup_programs(log=lambda m: print("  " + m))
     server = QueueServer(args.socket, max_concurrency=args.concurrency,
                          lut_strategy=args.lut_strategy)
     server.start()
@@ -495,6 +510,43 @@ def cmd_serve(args) -> int:
     print("lut-tpu serve: stopped")
     sys.stdout.flush()
     os._exit(0)
+
+
+def cmd_tui(args) -> int:
+    """Interactive terminal UI — the headless main window: add files, edit
+    every parameter with inline help, LUT history picker, presets,
+    start/reprocess/cancel (app.tui)."""
+    from . import load_settings, save_settings
+    from ..tasks import TaskManager
+    from .lut_history import last_lut
+    from .tui import InteractiveSession, InteractiveTui
+
+    settings = load_settings()
+    lut = Path(args.lut) if args.lut else None
+    if lut is None and settings.get("last_lut"):
+        remembered = Path(settings["last_lut"])
+        if remembered.exists():
+            lut = remembered
+    manager = TaskManager(max_concurrency=args.concurrency,
+                          lut_strategy=args.lut_strategy)
+    session = InteractiveSession(
+        manager,
+        lut_path=lut,
+        out_dir=Path(args.out_dir) if args.out_dir else None,
+        master_dir=Path(args.master_dir) if args.master_dir else None,
+        settings=settings,
+    )
+    if args.files:
+        session.add_paths(" ".join(args.files))
+    tui = InteractiveTui(session)
+    try:
+        tui.run()
+    finally:
+        for task_id in list(manager.tasks):
+            manager.cancel_task(task_id)
+        manager.wait_all(timeout=60)
+        save_settings(settings)
+    return 0
 
 
 def cmd_client(args) -> int:
@@ -617,15 +669,32 @@ def build_parser() -> argparse.ArgumentParser:
     thumb.set_defaults(fn=cmd_thumb)
 
     doctor = sub.add_parser("doctor", help="environment health check")
+    doctor.add_argument("--warmup", action="store_true",
+                        help="precompile the production program set into "
+                             "the persistent cache")
     doctor.set_defaults(fn=cmd_doctor)
 
     serve = sub.add_parser("serve", help="warm render daemon (Unix socket)")
     serve.add_argument("--socket", required=True,
                        help="Unix socket path to listen on")
     serve.add_argument("--concurrency", type=int, default=1)
+    serve.add_argument("--warmup", action="store_true",
+                       help="precompile the production program set before "
+                            "accepting jobs (cold-start protection)")
     serve.add_argument("--lut-strategy", choices=["mxu", "gather"],
                        default="mxu", help=argparse.SUPPRESS)
     serve.set_defaults(fn=cmd_serve)
+
+    tui = sub.add_parser("tui", help="interactive terminal UI (headless "
+                                     "main window)")
+    tui.add_argument("files", nargs="*", help="files/dirs to pre-queue")
+    tui.add_argument("--lut", help=".cube LUT (defaults to last used)")
+    tui.add_argument("--out-dir")
+    tui.add_argument("--master-dir")
+    tui.add_argument("--concurrency", type=int, default=1)
+    tui.add_argument("--lut-strategy", choices=["mxu", "gather"],
+                     default="mxu", help=argparse.SUPPRESS)
+    tui.set_defaults(fn=cmd_tui)
 
     client = sub.add_parser("client", help="send one request to a daemon")
     client.add_argument("request", help='JSON, e.g. {"op": "status"}')

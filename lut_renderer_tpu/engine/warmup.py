@@ -1,0 +1,122 @@
+"""Compile-cache warm-start: precompile the production program set.
+
+First compile of a program through the remote-compile tunnel costs up to
+~100 s; the persistent XLA cache (utils.compile_cache) makes repeats cheap,
+but a cold daemon's first job used to eat the full set. Since the
+operand-argument restructure (ops.lut3d.kernel_operands) compiled programs
+are LUT-AGNOSTIC — keyed by (frame shape, batch, LUT size, tier, interp,
+domain), not table values — so warming with synthetic LUTs serves real
+.cube files with zero compiles.
+
+Driven by `lut-tpu serve --warmup` / `lut-tpu doctor --warmup`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WarmupProgram:
+    label: str
+    width: int
+    height: int
+    lut_size: int
+    interp: str = "tetrahedral"
+    in_depth: int = 8
+    out_depth: int = 8
+    in_subsampling: str = "420"
+    out_subsampling: str = "420"
+    dither: str = "none"
+
+
+# The production set: the BASELINE config classes users actually hit.
+DEFAULT_PROGRAMS: List[WarmupProgram] = [
+    WarmupProgram("1080p 33^3 tetra", 1920, 1080, 33),
+    WarmupProgram("4K 33^3 tetra", 3840, 2160, 33),
+    WarmupProgram("4K 65^3 tetra", 3840, 2160, 65),
+    WarmupProgram("1080p 65^3 tetra 10->8bit dither", 1920, 1080, 65,
+                  in_depth=10, in_subsampling="422", dither="ordered"),
+    WarmupProgram("8K 33^3 tetra 10-bit", 7680, 4320, 33,
+                  in_depth=10, out_depth=10, in_subsampling="422",
+                  out_subsampling="422"),
+]
+
+
+def _synthetic_prep(size: int):
+    from ..colorcore import Lut3D
+    from ..ops import prepare_lut
+
+    rng = np.random.default_rng(7)
+    lut = Lut3D.identity(size)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.02, 0.02, lut.table.shape
+                                ).astype(np.float32), 0, 1)
+    return prepare_lut(lut)
+
+
+def warmup_programs(
+    log: Optional[Callable[[str], None]] = None,
+    programs: Optional[Sequence[WarmupProgram]] = None,
+    batch_size: Optional[int] = None,
+) -> List[dict]:
+    """Compile-and-run each production program once on tiny-value inputs.
+
+    Returns one record per program: label, resolved tier, batch, seconds,
+    and whether it looked like a cache hit (sub-5s wall including the run).
+    Uses the SAME entry points as the executor (make_render_fn with operand
+    arguments + the executor's batch-size rule) so the warmed programs are
+    byte-identical to what jobs run."""
+    import jax
+
+    from ..ops.render import RenderConfig, make_render_fn
+    from .executor import _pick_batch_size
+
+    log = log or (lambda m: None)
+    results: List[dict] = []
+    on_tpu = jax.devices()[0].platform == "tpu"
+    for prog in (programs if programs is not None else DEFAULT_PROGRAMS):
+        prep = _synthetic_prep(prog.lut_size)
+        cfg = RenderConfig(
+            interp=prog.interp,
+            in_depth=prog.in_depth, out_depth=prog.out_depth,
+            in_subsampling=prog.in_subsampling,
+            out_subsampling=prog.out_subsampling,
+            dither=prog.dither,
+            lut_strategy="mxu" if on_tpu else "gather",
+        )
+        tier = prep.resolve_precision(cfg.interp, cfg.lut_precision)
+        bsz = batch_size or _pick_batch_size(prog.width, prog.height)
+        w, h = prog.width, prog.height
+        dt_y = np.uint8 if prog.in_depth == 8 else np.uint16
+        y = np.zeros((bsz, h, w), dt_y)
+        cw = w if prog.in_subsampling == "444" else w // 2
+        ch = h if prog.in_subsampling != "420" else h // 2
+        u = np.zeros((bsz, ch, cw), dt_y)
+        v = np.zeros((bsz, ch, cw), dt_y)
+        t0 = time.perf_counter()
+        try:
+            fn = make_render_fn(prep, cfg, interpret=False)
+            out = fn(y, u, v)
+            jax.block_until_ready(out)
+            # axon block_until_ready does not block; force a readback
+            float(np.asarray(out[0][0, 0, 0]))
+            dt = time.perf_counter() - t0
+            rec = {"label": prog.label, "tier": tier, "batch": bsz,
+                   "seconds": round(dt, 2), "cache_hit": dt < 5.0,
+                   "ok": True}
+        except Exception as exc:  # pragma: no cover - device-specific
+            dt = time.perf_counter() - t0
+            rec = {"label": prog.label, "tier": tier, "batch": bsz,
+                   "seconds": round(dt, 2), "ok": False,
+                   "error": str(exc)[:200]}
+        results.append(rec)
+        log(f"warmup: {rec['label']} [{tier}] batch={rec['batch']} "
+            + (f"{'cache hit' if rec.get('cache_hit') else 'compiled'} "
+               f"in {rec['seconds']}s" if rec["ok"]
+               else f"FAILED: {rec.get('error')}"))
+    return results

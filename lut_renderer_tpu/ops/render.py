@@ -174,6 +174,36 @@ def lut_operands_for(prep: Optional[PreparedLut], cfg: RenderConfig):
     return kernel_operands(prep, cfg.interp, cfg.lut_precision)
 
 
+def prep_static_key(prep: Optional[PreparedLut], cfg: RenderConfig):
+    """Everything about a PreparedLut that a traced render program depends
+    on BESIDES the table values (which ride as runtime operands): size,
+    padded geometry, the per-LUT resolved tier, and the domain mapping
+    (baked as scalars). Two LUTs agreeing on this key share one jitted
+    function and one compiled program."""
+    if prep is None or not cfg.apply_lut:
+        return None
+    tier = (prep.resolve_precision(cfg.interp, cfg.lut_precision)
+            if cfg.lut_strategy == "mxu" else "gather")
+    return (
+        prep.size,
+        prep.rows_pad,
+        tier,
+        prep.quad_widths,
+        prep.resid_quad_widths,
+        None if prep.coarse is None else (prep.coarse.size,
+                                          prep.coarse.rows_pad,
+                                          prep.coarse.quad_widths),
+        tuple(float(v) for v in prep.domain_min),
+        tuple(float(v) for v in prep.domain_max),
+    )
+
+
+# jitted render fns keyed by (cfg, interpret, prep_static_key): a new LUT of
+# an already-seen size/tier reuses the jitted fn outright — no retrace, no
+# compile, only a device_put of its table operands (the serving fast path).
+_RENDER_FN_CACHE: dict = {}
+
+
 def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
                    batched: bool = True, interpret: bool = False):
     """Build a jitted render function.
@@ -186,14 +216,20 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
 
     The LUT table operands ride as a jit ARGUMENT (device_put once here),
     not as baked constants, so the compiled program depends only on shapes,
-    LUT size, tier, interp, and domain — not the table values.
-    """
+    LUT size, tier, interp, and domain — not the table values — and the
+    jitted function itself is cached across LUTs (prep_static_key)."""
     del batched  # retained for API compatibility; shape-polymorphic anyway
     ops_np = lut_operands_for(prep, cfg)
-    fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
-                           interpret=interpret)
     if ops_np is None:
+        fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
+                               interpret=interpret)
         return jax.jit(lambda y, u, v: fn(y, u, v))
+    key = (cfg, interpret, prep_static_key(prep, cfg))
+    jitted = _RENDER_FN_CACHE.get(key)
+    if jitted is None:
+        fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
+                               interpret=interpret)
+        jitted = jax.jit(lambda y, u, v, ops: fn(y, u, v, lut_operands=ops))
+        _RENDER_FN_CACHE[key] = jitted
     ops_dev = jax.device_put(ops_np)
-    jitted = jax.jit(lambda y, u, v, ops: fn(y, u, v, lut_operands=ops))
     return lambda y, u, v: jitted(y, u, v, ops_dev)

@@ -1,0 +1,244 @@
+"""Interactive TUI tests: headless state-machine coverage of the
+add -> configure -> start -> reprocess loop, plus a REAL pty drive of
+`lut-tpu tui` (VERDICT r2 #2's done-criterion)."""
+
+import os
+import pty
+import select
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lut_renderer_tpu.app.tui import EDIT_FIELDS, InteractiveSession
+from lut_renderer_tpu.models import ProcessingParams, TaskStatus
+from lut_renderer_tpu.tasks import TaskManager
+
+
+def _clip(tmp_path, name="clip.avi"):
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    return make_gradient_clip(tmp_path / name, width=96, height=64, frames=4)
+
+
+def _cube(tmp_path):
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+
+    rng = np.random.default_rng(3)
+    lut = Lut3D.identity(17)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.05, 0.05, lut.table.shape
+                                ).astype(np.float32), 0, 1)
+    return write_cube_file(tmp_path / "look.cube", lut)
+
+
+def _type(session, text):
+    for ch in text:
+        session.on_key(ch)
+
+
+def test_session_add_edit_start_reprocess(tmp_path):
+    """The full reference main-window loop, headless: add a file (probe +
+    smart defaults + naming), edit a parameter, pick a LUT, start (re-apply
+    rule), run to completion, then reprocess with changed params."""
+    clip = _clip(tmp_path)
+    cube = _cube(tmp_path)
+    mgr = TaskManager(max_concurrency=1, lut_strategy="gather")
+    s = InteractiveSession(mgr, out_dir=tmp_path / "out", settings={})
+
+    # add via the input mode (a, type path, Enter)
+    s.on_key("a")
+    assert s.mode == "input"
+    _type(s, str(clip))
+    s.on_key("\r")
+    assert s.mode == "queue" and len(mgr.tasks) == 1
+    task = next(iter(mgr.tasks.values()))
+    assert task.params.resolution == "96x64"  # smart default from probe
+
+    # LUT picker: n -> type path -> Enter; history records it
+    s.on_key("l")
+    assert s.mode == "luts"
+    s.on_key("n")
+    _type(s, str(cube))
+    s.on_key("\r")
+    assert s.lut_path == cube
+    assert str(cube) in s.settings.get("lut_history", [])
+
+    # edit a field: navigate to video_codec, set mpeg4
+    s.on_key("e")
+    assert s.mode == "edit"
+    idx = EDIT_FIELDS.index("video_codec")
+    for _ in range(idx):
+        s.on_key("j")
+    s.on_key("\r")
+    assert s.mode == "input"
+    s.input_buf = ""          # clear the seeded current value
+    _type(s, "mpeg4")
+    s.on_key("\r")
+    assert s.params.video_codec == "mpeg4"
+    # field help renders inline
+    s.on_key("?")
+    assert s.mode == "help" and any("codec" in l.lower()
+                                    for l in s.help_body)
+    s.on_key("q")
+    s.on_key("q")             # leave edit
+    assert s.mode == "queue"
+
+    # start: the re-apply rule pushes the edited codec onto the pending task
+    s.on_key("s")
+    assert "re-applied" in s.note
+    assert task.params.video_codec == "mpeg4"
+    assert task.lut_path == cube
+    assert mgr.wait_all(timeout=120)
+    assert task.status == TaskStatus.COMPLETED, task.error
+    out1 = task.output_path
+    assert out1.exists()
+
+    # reprocess with a changed parameter -> fresh output name
+    s.on_key("e")
+    s.on_key("\r")            # video_codec is still selected? field_sel reset
+    # (edit mode resets to field 0 = video_codec only on 'e' from queue)
+    s.input_buf = ""
+    _type(s, "ffv1")
+    s.on_key("\r")
+    s.on_key("q")
+    s.on_key("r")
+    assert task.status == TaskStatus.PENDING
+    assert task.params.video_codec == "ffv1"
+    assert task.output_path != out1
+    s.on_key("s")
+    assert mgr.wait_all(timeout=120)
+    assert task.status == TaskStatus.COMPLETED, task.error
+    assert task.output_path.exists()
+
+    # render() produces a frame in every mode without raising
+    for mode in ("queue", "edit", "luts", "presets", "help"):
+        s.mode = mode
+        assert s.render()
+
+
+def test_session_presets_mode_and_info(tmp_path, monkeypatch):
+    """Preset save/load round-trip through the picker, fast/pro template
+    toggle, and the info popup."""
+    import lut_renderer_tpu.app.presets as presets_mod
+
+    (tmp_path / "presets").mkdir()   # the real presets_dir() creates it
+    monkeypatch.setattr(presets_mod, "presets_dir",
+                        lambda: tmp_path / "presets")
+    clip = _clip(tmp_path)
+    mgr = TaskManager(max_concurrency=1, lut_strategy="gather")
+    s = InteractiveSession(mgr, out_dir=tmp_path / "out", settings={})
+    s.params.bitrate = "9k"
+
+    s.on_key("p")
+    s.on_key("s")
+    _type(s, "mylook")
+    s.on_key("\r")
+    assert "saved" in s.note
+    s.params = ProcessingParams()        # wipe
+    s.on_key("p")
+    s.on_key("1")
+    assert s.params.bitrate == "9k"      # loaded back
+
+    # mode toggle applies the pro template
+    s.on_key("m")
+    assert s.params.processing_mode == "pro"
+    # pro without master dir refuses to add (the reference's guard)
+    s.on_key("a")
+    _type(s, str(clip))
+    s.on_key("\r")
+    assert "master" in s.note.lower() and not mgr.tasks
+    s.on_key("M")
+    _type(s, str(tmp_path / "masters"))
+    s.on_key("\r")
+    s.on_key("a")
+    _type(s, str(clip))
+    s.on_key("\r")
+    assert len(mgr.tasks) == 1
+
+    # info popup shows probe details
+    s.on_key("i")
+    assert s.mode == "help"
+    assert any("96x64" in l for l in s.help_body)
+
+
+def test_pty_drive_full_loop(tmp_path):
+    """Scripted pty drive of the real `lut-tpu tui` binary: add a file,
+    edit a parameter, start, wait for completion, reprocess, quit —
+    entirely through terminal keystrokes."""
+    clip = _clip(tmp_path)
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
+    env["HOME"] = str(tmp_path)          # isolate settings/presets
+    env["TERM"] = "xterm"
+
+    leader, follower = pty.openpty()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "lut_renderer_tpu.app.cli", "tui",
+         "--out-dir", str(out_dir), "--lut-strategy", "gather"],
+        stdin=follower, stdout=follower, stderr=subprocess.DEVNULL,
+        env=env, close_fds=True,
+    )
+    os.close(follower)
+    buf = b""
+
+    def read_until(needle: bytes, timeout=240.0) -> bytes:
+        nonlocal buf
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if needle in buf:
+                return buf
+            r, _, _ = select.select([leader], [], [], 1.0)
+            if r:
+                try:
+                    chunk = os.read(leader, 65536)
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+        raise AssertionError(
+            f"pty: never saw {needle!r}; tail: {buf[-2000:]!r}")
+
+    def send(text: str, settle: float = 0.4):
+        os.write(leader, text.encode())
+        time.sleep(settle)
+
+    try:
+        read_until(b"queue empty")
+        send("a")                     # add
+        send(str(clip))
+        send("\r")
+        read_until(b"added 1 task")
+        send("e")                     # edit params
+        read_until(b"edit parameters")
+        send("\r")                    # edit field 0 = video_codec
+        # wipe the seeded value, type mpeg4
+        send("\x7f" * 30)
+        send("mpeg4")
+        send("\r")
+        send("q")                     # leave edit
+        send("s")                     # start
+        read_until(b"re-applied")
+        read_until(b"completed", timeout=240)
+        send("r")                     # reprocess
+        read_until(b"reprocessing")
+        send("s")
+        time.sleep(1.0)
+        read_until(b"completed", timeout=240)
+        send("q")
+        proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(leader)
+
+    outs = sorted(out_dir.glob("clip_out*.avi"))
+    assert len(outs) >= 2, outs       # original + reprocessed (fresh name)
+    assert all(p.stat().st_size > 0 for p in outs)
