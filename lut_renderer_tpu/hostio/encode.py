@@ -113,6 +113,17 @@ def list_encoders(candidates=None) -> List[str]:
     return [n for n in names if ffi.avcodec.avcodec_find_encoder_by_name(n.encode())]
 
 
+def encoder_available(name: str) -> bool:
+    """Whether the bundled libavcodec ships an encoder named `name` (video
+    or audio — e.g. 'mp3' is offered by the reference UI but absent from
+    these libs; the policy layer notes the copy degradation)."""
+    try:
+        ffi = get_ffi(verify=False)
+    except Exception:
+        return False
+    return bool(ffi.avcodec.avcodec_find_encoder_by_name(name.encode()))
+
+
 @dataclass
 class EncoderSettings:
     codec: str

@@ -462,6 +462,21 @@ def build_render_spec(
         spec.audio_bitrate = params.audio_bitrate or None
         spec.sample_rate = params.sample_rate or None
         spec.channels = params.channels or None
+        # The reference offers aac/mp3/copy (main_window.py:763) with no
+        # availability preflight; the bundled libs ship aac but not mp3.
+        # Degradation-notes honesty: name the copy fallback up front
+        # instead of failing silently at encode time.
+        try:
+            from ..hostio.encode import encoder_available
+
+            if not encoder_available(params.audio_codec):
+                notes.append(
+                    f"Audio codec '{params.audio_codec}' is not in the "
+                    f"bundled libraries; the audio stream will be COPIED "
+                    f"instead (bundled audio encoders: aac, pcm)"
+                )
+        except Exception:
+            pass
 
     spec.faststart = bool(params.faststart)
     return spec

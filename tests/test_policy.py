@@ -336,3 +336,17 @@ def test_master_spec_end_to_end():
     assert spec.pix_fmt == "yuv422p10le"
     assert spec.maxrate is None
     assert spec.color_tags.range == "tv"  # LUT => bt709 tagging on master too
+
+
+def test_mp3_audio_degradation_note():
+    """The reference offers aac/mp3/copy with no preflight; mp3 is absent
+    from the bundled libs, so the policy names the copy fallback up front
+    (degradation-notes honesty), while aac stays silent."""
+    notes = []
+    p = ProcessingParams(video_codec="mpeg4", audio_codec="mp3")
+    build_render_spec(Path("a.mp4"), Path("b.mp4"), p, notes=notes)
+    assert any("mp3" in n and "COPIED" in n for n in notes), notes
+    notes = []
+    p = ProcessingParams(video_codec="mpeg4", audio_codec="aac")
+    build_render_spec(Path("a.mp4"), Path("b.mp4"), p, notes=notes)
+    assert not any("COPIED" in n for n in notes), notes
