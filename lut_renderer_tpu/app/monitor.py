@@ -117,7 +117,10 @@ class QueueMonitor:
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         try:
-            tty.setcbreak(fd)
+            # TCSADRAIN, not setcbreak's default TCSAFLUSH: FLUSH discards
+            # any keys typed before this thread finished starting (real
+            # keystrokes lost under load; caught by the pty test)
+            tty.setcbreak(fd, termios.TCSADRAIN)
             while not self._quit.is_set():
                 key = sys.stdin.read(1)
                 self.on_key(key)

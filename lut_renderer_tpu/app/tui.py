@@ -458,7 +458,10 @@ class InteractiveTui:
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         try:
-            tty.setcbreak(fd)
+            # TCSADRAIN, not setcbreak's default TCSAFLUSH: FLUSH discards
+            # any keys typed before this thread finished starting (real
+            # keystrokes lost under load; caught by the pty test)
+            tty.setcbreak(fd, termios.TCSADRAIN)
             while not self.s.quit.is_set():
                 key = sys.stdin.read(1)
                 if not key:

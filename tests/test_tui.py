@@ -212,6 +212,7 @@ def test_pty_drive_full_loop(tmp_path):
 
     try:
         read_until(b"queue empty")
+        time.sleep(1.0)               # let the input thread enter cbreak
         send("a")                     # add
         send(str(clip))
         send("\r")
