@@ -65,11 +65,12 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
     if n <= 49:
         return 512
     if mode in ("int8", "int8_fast", "int8_lite"):
-        # direct int8/int4 tiers at N=65 swept on v5e (experiments/
-        # r3_65cube_ablate*.py): tetra int8_lite 72.0 ms at 256 ->
-        # 62.8 at 512 -> 60.2 at 1024 (the K ~ N^2/4 masks leave VMEM
-        # headroom for the single plane)
-        return 1024
+        # direct int8 tiers at N=65 swept on v5e (experiments/
+        # r3_65cube_ablate*.py + r3_65_microopt.py, i32-select masks):
+        # tetra int8_lite 72.0 ms at 256 -> 62.8 at 512 -> 47.9 at 1024 ->
+        # 45.8 at 2048 (the K ~ N^2/4 masks leave VMEM headroom for the
+        # single plane)
+        return 2048
     return 256
 
 
@@ -370,7 +371,10 @@ def _int8_quad_body(n, n_passes, widths, idx, wall, lq_ref, s_ref,
     if acc is None:
         acc = [None, None, None]
     for q in range(4):
-        m8 = jnp.where(masks[q], 1.0, 0.0).astype(mdt)
+        # i32 select -> int8 convert, NOT the f32 route: measured 12 ms/4K
+        # faster at N=65 (45.8 vs 57.9 ms, experiments/r3_65_microopt.py) —
+        # the f32 select + f32->i8 convert lowers poorly on Mosaic
+        m8 = jnp.where(masks[q], 1, 0).astype(mdt)
         d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
                     preferred_element_type=jnp.int32)
         df = d.astype(jnp.float32)
@@ -482,7 +486,7 @@ def _resid_quad_body(n, n_passes, widths, idx, wall, lq_ref,
     if acc is None:
         acc = [None, None, None]
     for q in range(4):
-        m8 = jnp.where(masks[q], 1.0, 0.0).astype(wdt)
+        m8 = jnp.where(masks[q], 1, 0).astype(wdt)   # i32-select route
         d = jnp.dot(lq_ref[:, offs[q]:offs[q] + widths[q]], m8,
                     preferred_element_type=jnp.int32)
         e = d.astype(jnp.float32) * s1
