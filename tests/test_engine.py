@@ -424,3 +424,24 @@ def test_run_stage_cpu_falls_back_from_mxu(tmp_path):
                     lut_strategy="mxu")  # the production default
     assert res.ok, res.error
     assert any("gather fallback" in m for m in logs)
+
+
+def test_warmup_programs_cpu():
+    """engine.warmup drives the exact executor entry points (make_render_fn
+    + operand args) over the production program set; on CPU (gather path)
+    a tiny program must run and report ok with the resolved tier."""
+    from lut_renderer_tpu.engine.warmup import WarmupProgram, warmup_programs
+
+    logs = []
+    recs = warmup_programs(
+        log=logs.append,
+        programs=[
+            WarmupProgram("tiny 33", 128, 64, 33),
+            WarmupProgram("tiny 65 10-bit 422", 128, 64, 65,
+                          in_depth=10, in_subsampling="422"),
+        ],
+        batch_size=2,
+    )
+    assert all(r["ok"] for r in recs), recs
+    assert recs[0]["tier"] in ("fast", "int8_lite", "int8_fast", "exact")
+    assert len(logs) == 2 and all("warmup:" in l for l in logs)
