@@ -537,7 +537,7 @@ def cmd_tui(args) -> int:
         settings=settings,
     )
     if args.files:
-        session.add_paths(" ".join(args.files))
+        session.add_path_list([Path(p) for p in args.files])
     tui = InteractiveTui(session)
     try:
         tui.run()

@@ -111,21 +111,9 @@ class QueueMonitor:
 
     # -- input ----------------------------------------------------------------
     def _input_loop(self) -> None:  # pragma: no cover - needs a real tty
-        import termios
-        import tty
+        from .termio import key_input_loop
 
-        fd = sys.stdin.fileno()
-        old = termios.tcgetattr(fd)
-        try:
-            # TCSADRAIN, not setcbreak's default TCSAFLUSH: FLUSH discards
-            # any keys typed before this thread finished starting (real
-            # keystrokes lost under load; caught by the pty test)
-            tty.setcbreak(fd, termios.TCSADRAIN)
-            while not self._quit.is_set():
-                key = sys.stdin.read(1)
-                self.on_key(key)
-        finally:
-            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        key_input_loop(self.on_key, self._quit)
 
     def on_key(self, key: str) -> None:
         tasks = list(self.manager.tasks.values())

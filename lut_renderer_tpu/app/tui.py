@@ -34,7 +34,6 @@ from .lut_history import lut_history, remember_lut
 from .monitor import _STATUS_GLYPH, aggregate_progress, progress_bar
 from .presets import (
     PresetExistsError,
-    delete_preset,
     list_presets,
     load_preset,
     overwrite_preset,
@@ -91,7 +90,9 @@ class InteractiveSession:
         return ts[self.sel]
 
     def add_paths(self, text: str) -> None:
-        paths = [Path(p).expanduser() for p in text.split() if p]
+        self.add_path_list([Path(p).expanduser() for p in text.split() if p])
+
+    def add_path_list(self, paths) -> None:
         if not paths:
             self.note = "no paths given"
             return
@@ -103,10 +104,12 @@ class InteractiveSession:
             self.note = str(exc)
             return
         self.manager.add_tasks(batch.tasks)
-        for w in batch.warnings:
-            self.note = w
+        notes = []
         if batch.tasks:
-            self.note = f"added {len(batch.tasks)} task(s)"
+            notes.append(f"added {len(batch.tasks)} task(s)")
+        notes.extend(batch.warnings)     # keep warnings visible (disk etc.)
+        if notes:
+            self.note = " — ".join(notes)
 
     def start_all(self) -> None:
         """The reference's Start: re-snapshot the panel params onto every
@@ -128,7 +131,11 @@ class InteractiveSession:
         if task.status in (TaskStatus.PENDING, TaskStatus.RUNNING):
             self.note = f"{task.display_name()} is {task.status.value}"
             return
-        task.lut_path = self.lut_path
+        # match apply_params_to_pending: a session LUT replaces the task's,
+        # no session LUT PRESERVES it (clearing is explicit via the picker
+        # then start, not an implicit side effect of reprocess)
+        if self.lut_path is not None:
+            task.lut_path = self.lut_path
         self.manager.reprocess_task(task.task_id, params=self.params)
         self.note = f"reprocessing {task.display_name()}"
 
@@ -310,9 +317,6 @@ class InteractiveSession:
             self.mode = "queue"
         elif key == "s":
             self._begin_input("preset_name")
-        elif key == "d" and names:
-            delete_preset(names[0])
-            self.note = f"deleted preset {names[0]}"
         elif key.isdigit() and key != "0" and int(key) <= len(names):
             name = names[int(key) - 1]
             try:
@@ -445,30 +449,9 @@ class InteractiveTui:
         self._drawn = 0
 
     def _input_loop(self) -> None:
-        if self.input_fn is not None:
-            while not self.s.quit.is_set():
-                key = self.input_fn()
-                if not key:
-                    return
-                self.s.on_key(key)
-            return
-        import termios
-        import tty
+        from .termio import key_input_loop
 
-        fd = sys.stdin.fileno()
-        old = termios.tcgetattr(fd)
-        try:
-            # TCSADRAIN, not setcbreak's default TCSAFLUSH: FLUSH discards
-            # any keys typed before this thread finished starting (real
-            # keystrokes lost under load; caught by the pty test)
-            tty.setcbreak(fd, termios.TCSADRAIN)
-            while not self.s.quit.is_set():
-                key = sys.stdin.read(1)
-                if not key:
-                    return
-                self.s.on_key(key)
-        finally:
-            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        key_input_loop(self.s.on_key, self.s.quit, self.input_fn)
 
     def draw(self) -> None:
         lines = self.s.render(self.width)

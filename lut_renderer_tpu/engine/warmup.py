@@ -32,15 +32,23 @@ class WarmupProgram:
     in_subsampling: str = "420"
     out_subsampling: str = "420"
     dither: str = "none"
+    # Tiers to compile per shape: "auto" resolves against the synthetic
+    # LUT, but a REAL LUT's per-LUT gate may resolve differently — so the
+    # realistic fallback tiers are warmed explicitly too.
+    tiers: tuple = ("auto",)
 
 
 # The production set: the BASELINE config classes users actually hit.
 DEFAULT_PROGRAMS: List[WarmupProgram] = [
-    WarmupProgram("1080p 33^3 tetra", 1920, 1080, 33),
-    WarmupProgram("4K 33^3 tetra", 3840, 2160, 33),
-    WarmupProgram("4K 65^3 tetra", 3840, 2160, 65),
+    WarmupProgram("1080p 33^3 tetra", 1920, 1080, 33,
+                  tiers=("auto", "int8_fast")),
+    WarmupProgram("4K 33^3 tetra", 3840, 2160, 33,
+                  tiers=("auto", "int8_fast")),
+    WarmupProgram("4K 65^3 tetra", 3840, 2160, 65,
+                  tiers=("auto", "coarse2f", "int8_fast")),
     WarmupProgram("1080p 65^3 tetra 10->8bit dither", 1920, 1080, 65,
-                  in_depth=10, in_subsampling="422", dither="ordered"),
+                  in_depth=10, in_subsampling="422", dither="ordered",
+                  tiers=("auto", "coarse2f")),
     WarmupProgram("8K 33^3 tetra 10-bit", 7680, 4320, 33,
                   in_depth=10, out_depth=10, in_subsampling="422",
                   out_subsampling="422"),
@@ -81,15 +89,6 @@ def warmup_programs(
     on_tpu = jax.devices()[0].platform == "tpu"
     for prog in (programs if programs is not None else DEFAULT_PROGRAMS):
         prep = _synthetic_prep(prog.lut_size)
-        cfg = RenderConfig(
-            interp=prog.interp,
-            in_depth=prog.in_depth, out_depth=prog.out_depth,
-            in_subsampling=prog.in_subsampling,
-            out_subsampling=prog.out_subsampling,
-            dither=prog.dither,
-            lut_strategy="mxu" if on_tpu else "gather",
-        )
-        tier = prep.resolve_precision(cfg.interp, cfg.lut_precision)
         bsz = batch_size or _pick_batch_size(prog.width, prog.height)
         w, h = prog.width, prog.height
         dt_y = np.uint8 if prog.in_depth == 8 else np.uint16
@@ -98,25 +97,40 @@ def warmup_programs(
         ch = h if prog.in_subsampling != "420" else h // 2
         u = np.zeros((bsz, ch, cw), dt_y)
         v = np.zeros((bsz, ch, cw), dt_y)
-        t0 = time.perf_counter()
-        try:
-            fn = make_render_fn(prep, cfg, interpret=False)
-            out = fn(y, u, v)
-            jax.block_until_ready(out)
-            # axon block_until_ready does not block; force a readback
-            float(np.asarray(out[0][0, 0, 0]))
-            dt = time.perf_counter() - t0
-            rec = {"label": prog.label, "tier": tier, "batch": bsz,
-                   "seconds": round(dt, 2), "cache_hit": dt < 5.0,
-                   "ok": True}
-        except Exception as exc:  # pragma: no cover - device-specific
-            dt = time.perf_counter() - t0
-            rec = {"label": prog.label, "tier": tier, "batch": bsz,
-                   "seconds": round(dt, 2), "ok": False,
-                   "error": str(exc)[:200]}
-        results.append(rec)
-        log(f"warmup: {rec['label']} [{tier}] batch={rec['batch']} "
-            + (f"{'cache hit' if rec.get('cache_hit') else 'compiled'} "
-               f"in {rec['seconds']}s" if rec["ok"]
-               else f"FAILED: {rec.get('error')}"))
+        warmed = set()
+        for req_tier in prog.tiers:
+            cfg = RenderConfig(
+                interp=prog.interp,
+                in_depth=prog.in_depth, out_depth=prog.out_depth,
+                in_subsampling=prog.in_subsampling,
+                out_subsampling=prog.out_subsampling,
+                dither=prog.dither,
+                lut_strategy="mxu" if on_tpu else "gather",
+                lut_precision=req_tier,
+            )
+            tier = prep.resolve_precision(cfg.interp, cfg.lut_precision)
+            if tier in warmed:      # "auto" resolved to a listed tier
+                continue
+            warmed.add(tier)
+            t0 = time.perf_counter()
+            try:
+                fn = make_render_fn(prep, cfg, interpret=False)
+                out = fn(y, u, v)
+                jax.block_until_ready(out)
+                # axon block_until_ready does not block; force a readback
+                float(np.asarray(out[0][0, 0, 0]))
+                dt = time.perf_counter() - t0
+                rec = {"label": prog.label, "tier": tier, "batch": bsz,
+                       "seconds": round(dt, 2), "cache_hit": dt < 5.0,
+                       "ok": True}
+            except Exception as exc:  # pragma: no cover - device-specific
+                dt = time.perf_counter() - t0
+                rec = {"label": prog.label, "tier": tier, "batch": bsz,
+                       "seconds": round(dt, 2), "ok": False,
+                       "error": str(exc)[:200]}
+            results.append(rec)
+            log(f"warmup: {rec['label']} [{tier}] batch={rec['batch']} "
+                + (f"{'cache hit' if rec.get('cache_hit') else 'compiled'} "
+                   f"in {rec['seconds']}s" if rec["ok"]
+                   else f"FAILED: {rec.get('error')}"))
     return results

@@ -201,7 +201,11 @@ def prep_static_key(prep: Optional[PreparedLut], cfg: RenderConfig):
 # jitted render fns keyed by (cfg, interpret, prep_static_key): a new LUT of
 # an already-seen size/tier reuses the jitted fn outright — no retrace, no
 # compile, only a device_put of its table operands (the serving fast path).
+# Bounded FIFO: each entry's closure pins one PreparedLut (tens of MB at
+# 65^3), so a long-lived daemon over many size/tier/cfg combos must not
+# grow without limit; evicted fns fall back to the persistent XLA cache.
 _RENDER_FN_CACHE: dict = {}
+_RENDER_FN_CACHE_MAX = 32
 
 
 def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
@@ -230,6 +234,8 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
         fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
                                interpret=interpret)
         jitted = jax.jit(lambda y, u, v, ops: fn(y, u, v, lut_operands=ops))
+        while len(_RENDER_FN_CACHE) >= _RENDER_FN_CACHE_MAX:
+            _RENDER_FN_CACHE.pop(next(iter(_RENDER_FN_CACHE)))
         _RENDER_FN_CACHE[key] = jitted
     ops_dev = jax.device_put(ops_np)
     return lambda y, u, v: jitted(y, u, v, ops_dev)

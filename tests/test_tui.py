@@ -243,3 +243,49 @@ def test_pty_drive_full_loop(tmp_path):
     outs = sorted(out_dir.glob("clip_out*.avi"))
     assert len(outs) >= 2, outs       # original + reprocessed (fresh name)
     assert all(p.stat().st_size > 0 for p in outs)
+
+
+def test_review_fixes(tmp_path):
+    """Round-3 review fixes: spaced filenames via add_path_list, batch
+    warnings not clobbered by the added-count note, reprocess preserving a
+    task's LUT when the session has none, and EOF quitting the key loop."""
+    from lut_renderer_tpu.app.termio import key_input_loop
+
+    clip = _clip(tmp_path, name="my clip.avi")
+    cube = _cube(tmp_path)
+    mgr = TaskManager(max_concurrency=1, lut_strategy="gather")
+    s = InteractiveSession(mgr, out_dir=tmp_path / "out", settings={})
+
+    # spaced filename pre-queue (cmd_tui path)
+    s.add_path_list([clip])
+    assert len(mgr.tasks) == 1
+    task = next(iter(mgr.tasks.values()))
+
+    # reprocess with NO session LUT preserves the task's LUT
+    task.lut_path = cube
+    task.status = TaskStatus.COMPLETED
+    s.on_key("r")
+    assert task.lut_path == cube and task.status == TaskStatus.PENDING
+
+    # warnings survive alongside the added-count note
+    s2 = InteractiveSession(mgr, out_dir=tmp_path / "out", settings={})
+    s2.add_paths(str(tmp_path))   # dir import; fine either way
+    s2.note = ""
+    s2.add_paths("/nonexistent-dir-xyz")
+    assert "no video files" in s2.note
+
+    # EOF from the injected input quits the loop
+    import threading
+    ev = threading.Event()
+    key_input_loop(lambda k: None, ev, input_fn=lambda: "")
+    assert ev.is_set()
+
+    # arrow keys arrive as whole sequences and navigate the edit panel
+    s.on_key("e")
+    assert s.field_sel == 0
+    s.on_key("\x1b[B")
+    assert s.field_sel == 1
+    s.on_key("\x1b[A")
+    assert s.field_sel == 0
+    s.on_key("\x1b")              # bare ESC still leaves edit mode
+    assert s.mode == "queue"
