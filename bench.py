@@ -180,21 +180,31 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         from lut_renderer_tpu.ops.render import make_render_fn
 
         step = make_render_fn(prep, cfg)
+        # when the output feeds back (same dtype/geometry), chain steps so
+        # the single scalar-readback sync (~30 ms axon tax) amortizes over
+        # chain*batch frames like the headline measurement
+        chain = 3 if (cfg.in_depth == cfg.out_depth
+                      and cfg.in_subsampling == cfg.out_subsampling) else 1
         float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
+            yy, uu, vv = y, u, v
+            for _c in range(chain):
+                yy, uu, vv = step(yy, uu, vv)
+            float(jnp.sum(yy.astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
-        return batch / float(np.median(times))
+        return chain * batch / float(np.median(times))
 
     try:
         if over_budget("65cube"):
             return out
         prep65 = prepare_lut(_film_lut65())
         cfg = RenderConfig(interp="tetrahedral")
+        # batch 8 amortizes the ~30 ms axon sync tax (the kernel is
+        # ~46 ms/frame; batch 2 under-reported by ~25%)
         out["fps_4k_65cube_tetra"] = round(
-            fused_fps(prep65, cfg, H, W, 2, 8), 2)
+            fused_fps(prep65, cfg, H, W, 8, 8), 2)
         out["precision_65cube"] = prep65.resolve_precision("tetrahedral")
         # BASELINE config 2's actual shape: 1080p, 10-bit source forced to
         # 8-bit with dither
@@ -202,7 +212,7 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
             cfg2 = RenderConfig(in_depth=10, out_depth=8,
                                 interp="tetrahedral", dither="ordered")
             out["fps_1080p_65cube_config2"] = round(
-                fused_fps(prep65, cfg2, 1080, 1920, 4, 10), 2)
+                fused_fps(prep65, cfg2, 1080, 1920, 16, 10), 2)
     except Exception as exc:  # pragma: no cover
         out["error_65cube"] = str(exc)[:160]
     try:
@@ -211,7 +221,7 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         prep33 = prepare_lut(lut33)
         cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral")
         out["fps_8k_10bit_tetra"] = round(
-            fused_fps(prep33, cfg, 4320, 7680, 2, 10), 2)
+            fused_fps(prep33, cfg, 4320, 7680, 4, 10), 2)
         # BASELINE config 1's shape: 1080p 8-bit, trilinear fast delivery
         if not over_budget("config1"):
             cfg1 = RenderConfig(interp="trilinear")

@@ -149,3 +149,38 @@ bench_lib("33 int8_lite tri bm4096", "trilinear", "int8_lite", 4096)
 bench_fold(2048)
 bench_lib("33 int8_fast tetra bm2048", "tetrahedral", "int8_fast", 2048)
 bench_lib("33 fast tetra bm4096 (control)", "tetrahedral", "fast", 4096)
+
+# post-i32-mask block sweep for the 65-cube direct tier (the optimum may
+# have moved now that masks are cheap)
+lut65 = Lut3D.identity(65)
+lut65.table = np.clip(
+    lut65.table + rng.uniform(-0.02, 0.02, lut65.table.shape
+                              ).astype(np.float32), 0, 1)
+prep65 = prepare_lut(lut65)
+
+
+def bench65(label, bm):
+    orig = L._block_pixels
+    L._block_pixels = lambda nn, mode="exact", n_passes=2, _bm=bm: _bm
+    try:
+        def make(k):
+            @jax.jit
+            def f(r, g, b):
+                for _ in range(k):
+                    r, g, b = L.apply_lut_planes(r, g, b, prep65,
+                                                 "tetrahedral",
+                                                 precision="int8_lite")
+                return jnp.sum(r) + jnp.sum(g) + jnp.sum(b)
+            return f
+        t1 = sync_time(make(1), rj, gj, bj)
+        t5 = sync_time(make(5), rj, gj, bj)
+        per = (t5 - t1) / 4
+        print(f"{label:44s} {per*1e3:7.1f} ms  {1/per:6.1f} fps", flush=True)
+    except Exception as e:
+        print(f"{label:44s} FAILED: {str(e)[:200]}", flush=True)
+    finally:
+        L._block_pixels = orig
+
+
+bench65("65 int8_lite tetra bm3072 (post-i32)", 3072)
+bench65("65 int8_lite tetra bm4096 (post-i32)", 4096)

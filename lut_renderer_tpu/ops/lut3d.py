@@ -56,10 +56,13 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
             # (18.2 -> 16.1 ms/4K tetra vs 1024 — experiments/
             # fast_bm_sweep.py)
             return 4096
-        # single-pass int8 programs have VMEM headroom for a double block
-        # (trilinear int8: 28.4 -> 23.9 ms/4K measured); 2-pass and other
-        # bf16 programs spill above their swept sizes
-        if mode in ("int8", "int8_fast", "int8_lite") and n_passes == 1:
+        if mode == "int8_lite":
+            # single int8 plane, i32-select masks: swept 15.9 ms tetra /
+            # 14.0 tri at 4096 (r3_33_lite_opt.py) — the fastest 33-cube
+            # tier, now the auto default when its per-LUT gate clears
+            return 4096
+        if mode in ("int8", "int8_fast"):
+            # pair: 21.1 ms at 1024 -> 20.0 at 2048 post-i32-masks
             return 2048
         return 1024
     if n <= 49:

@@ -141,12 +141,13 @@ class PreparedLut:
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
-        # measured 4K cost order on v5e (ms, 33^3 tetra): fast 15.6 <
-        # int8_lite 22.2 < int8_fast 24.2 < exact 32.3. All tables are
-        # identity-detrended, so "fast" (bf16 hi only) errs at 2^-9 of the
-        # grading DELTA — on typical LUTs it is both the fastest and
-        # accurate, and the ladder tries it first.
-        ladder = ["fast", "int8_lite", "int8_fast"]
+        # measured 4K cost order on v5e (ms, 33^3 tetra, round-3
+        # i32-select masks + block sweep): int8_lite 15.9 < fast 16.5 <
+        # int8_fast 20.0 < exact. All tables are identity-detrended;
+        # int8_lite errs at detrended-rowmax/254 (~2x "fast"'s 2^-9 of the
+        # grading delta) and still clears the gate for typical looks, so
+        # the ladder tries it first — fastest-that-gates, as documented.
+        ladder = ["int8_lite", "fast", "int8_fast"]
         if self.coarse is not None:
             # N >= 49 cost order re-measured round 3 at 4K/65^3 tetra
             # (experiments/r3_65cube_ablate.py, swept blocks): DIRECT

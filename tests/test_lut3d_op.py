@@ -409,9 +409,12 @@ def test_auto_gate_accepts_production_style_luts():
     fast_tiers = {m for m in resolved.values() if m != "exact"}
     assert len(fast_tiers) >= 1 and sum(
         1 for m in resolved.values() if m != "exact") >= 4, resolved
-    # the detrended-bf16 default must carry most real looks (it is the
-    # headline tier; if it stopped gating in, throughput silently halves)
-    assert sum(1 for m in resolved.values() if m == "fast") >= 3, resolved
+    # the single-plane int8 default (round-3 ladder head) must carry most
+    # real looks (it is the headline tier; if it stopped gating in,
+    # throughput silently drops to the next rung)
+    assert sum(1 for m in resolved.values()
+               if m in ("int8_lite", "fast")) >= 3, resolved
+    assert any(m == "int8_lite" for m in resolved.values()), resolved
 
 
 def test_coarse2_with_nonunit_domain(rng):
