@@ -183,7 +183,7 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         # when the output feeds back (same dtype/geometry), chain steps so
         # the single scalar-readback sync (~30 ms axon tax) amortizes over
         # chain*batch frames like the headline measurement
-        chain = 3 if (cfg.in_depth == cfg.out_depth
+        chain = 6 if (cfg.in_depth == cfg.out_depth
                       and cfg.in_subsampling == cfg.out_subsampling) else 1
         float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
         times = []

@@ -69,11 +69,11 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 512
     if mode in ("int8", "int8_fast", "int8_lite"):
         # direct int8 tiers at N=65 swept on v5e (experiments/
-        # r3_65cube_ablate*.py + r3_65_microopt.py, i32-select masks):
+        # r3_65cube_ablate*.py + r3_33_lite_opt.py, i32-select masks):
         # tetra int8_lite 72.0 ms at 256 -> 62.8 at 512 -> 47.9 at 1024 ->
-        # 45.8 at 2048 (the K ~ N^2/4 masks leave VMEM headroom for the
-        # single plane)
-        return 2048
+        # 45.8 at 2048 -> 45.2 at 4096 (Mosaic streams the per-quadrant
+        # masks, so the K ~ N^2/4 block never materializes whole)
+        return 4096
     return 256
 
 
