@@ -174,25 +174,24 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         v = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
                                      (batch, h // 2, w // 2)).astype(dt_in))
 
-        # the PRODUCTION entry (operand-argument path): reuses the
-        # LUT-agnostic programs `serve --warmup` compiles, so extras are
-        # compile-free on a warmed machine
-        from lut_renderer_tpu.ops.render import make_render_fn
-
-        step = make_render_fn(prep, cfg)
-        # when the output feeds back (same dtype/geometry), chain steps so
-        # the single scalar-readback sync (~30 ms axon tax) amortizes over
-        # chain*batch frames like the headline measurement
+        # headline-identical methodology: when the output feeds back (same
+        # dtype/geometry), chain steps INSIDE one jit so both the ~30 ms
+        # axon sync tax and the per-dispatch tunnel latency amortize over
+        # chain*batch frames (separate dispatches measured ~+1 ms/frame)
         chain = 6 if (cfg.in_depth == cfg.out_depth
                       and cfg.in_subsampling == cfg.out_subsampling) else 1
-        float(jnp.sum(step(y, u, v)[0].astype(jnp.float32)))
+
+        @jax.jit
+        def stepk(y, u, v):
+            for _ in range(chain):
+                y, u, v = render_yuv_frame(y, u, v, prep, cfg)
+            return y
+
+        float(jnp.sum(stepk(y, u, v).astype(jnp.float32)))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            yy, uu, vv = y, u, v
-            for _c in range(chain):
-                yy, uu, vv = step(yy, uu, vv)
-            float(jnp.sum(yy.astype(jnp.float32)))
+            float(jnp.sum(stepk(y, u, v).astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
         return chain * batch / float(np.median(times))
 
