@@ -178,7 +178,7 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         # dtype/geometry), chain steps INSIDE one jit so both the ~30 ms
         # axon sync tax and the per-dispatch tunnel latency amortize over
         # chain*batch frames (separate dispatches measured ~+1 ms/frame)
-        chain = 6 if (cfg.in_depth == cfg.out_depth
+        chain = 3 if (cfg.in_depth == cfg.out_depth
                       and cfg.in_subsampling == cfg.out_subsampling) else 1
 
         @jax.jit
