@@ -177,14 +177,20 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
         # headline-identical methodology: when the output feeds back (same
         # dtype/geometry), chain steps INSIDE one jit so both the ~30 ms
         # axon sync tax and the per-dispatch tunnel latency amortize over
-        # chain*batch frames (separate dispatches measured ~+1 ms/frame)
-        chain = 3 if (cfg.in_depth == cfg.out_depth
+        # chain*batch frames (separate dispatches measured ~+1 ms/frame).
+        # lax.scan, not Python unrolling: the unrolled 65-cube program
+        # overloads the remote compile helper; scan keeps program size at
+        # ONE step regardless of chain depth (and is the idiomatic form).
+        chain = 8 if (cfg.in_depth == cfg.out_depth
                       and cfg.in_subsampling == cfg.out_subsampling) else 1
 
         @jax.jit
         def stepk(y, u, v):
-            for _ in range(chain):
-                y, u, v = render_yuv_frame(y, u, v, prep, cfg)
+            def body(carry, _):
+                yy, uu, vv = carry
+                return render_yuv_frame(yy, uu, vv, prep, cfg), None
+
+            (y, u, v), _ = jax.lax.scan(body, (y, u, v), None, length=chain)
             return y
 
         float(jnp.sum(stepk(y, u, v).astype(jnp.float32)))
