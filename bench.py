@@ -186,6 +186,9 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
 
         @jax.jit
         def stepk(y, u, v):
+            if chain == 1:     # depth-changing configs can't feed back
+                return render_yuv_frame(y, u, v, prep, cfg)[0]
+
             def body(carry, _):
                 yy, uu, vv = carry
                 return render_yuv_frame(yy, uu, vv, prep, cfg), None
