@@ -464,6 +464,24 @@ def cmd_doctor(args) -> int:
                   " gather path")
     except Exception as exc:
         report("jax devices", False, str(exc)[:80])
+    print("caches:")
+    try:
+        from ..utils.compile_cache import cache_dir
+
+        xdir = cache_dir()
+        report("XLA compile cache", True,
+               str(xdir) if xdir else "disabled")
+    except Exception as exc:
+        report("XLA compile cache", False, str(exc)[:80])
+    try:
+        from ..ops.tiergate_cache import gate_cache_dir
+
+        gdir = gate_cache_dir()
+        n_gated = len(list(gdir.glob("*.json"))) if gdir and gdir.is_dir() else 0
+        report("tier-gate cache", True,
+               f"{gdir} ({n_gated} LUTs gated)" if gdir else "disabled")
+    except Exception as exc:
+        report("tier-gate cache", False, str(exc)[:80])
     if getattr(args, "warmup", False):
         from ..engine.warmup import warmup_programs
         from ..utils.compile_cache import enable_persistent_compile_cache

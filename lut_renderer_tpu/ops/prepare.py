@@ -89,8 +89,14 @@ class PreparedLut:
     resid_bias: Optional[np.ndarray] = None    # (rows_pad, 1) f32
     resid_qp: Optional[np.ndarray] = None      # quad_permute(resid_q)
     resid_quad_widths: Optional[Tuple[int, int, int, int]] = None
+    # content hash for the persistent tier-gate cache (tiergate_cache.py)
+    gate_key: str = ""
     _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
     _auto_cache: Dict[str, str] = field(default_factory=dict)
+    # lazily built, mode-independent simulator state (probe geometry, exact
+    # reference, identity/residual terms) shared across the ladder walk —
+    # see _sim_geom and friends below
+    _sim_cache: Dict = field(default_factory=dict)
 
     @property
     def has_unit_domain(self) -> bool:
@@ -101,9 +107,15 @@ class PreparedLut:
     # -- per-LUT precision resolution ----------------------------------------
     def mode_error(self, interp: str, mode: str, probes: int = 60_000) -> float:
         """Simulated worst-case dE76 of `mode` vs the f32 reference for this
-        LUT under `interp` (cached)."""
+        LUT under `interp` (cached in-memory and, keyed by LUT content hash,
+        persistently across processes — tiergate_cache.py)."""
         key = (interp, mode)
         if key not in self._mode_errors:
+            persist_key = f"{interp}:{mode}:{probes}"
+            stored = self._persisted_errors()
+            if persist_key in stored:
+                self._mode_errors[key] = stored[persist_key]
+                return self._mode_errors[key]
             if mode.startswith("coarse2"):
                 if self.coarse is None:
                     return float("inf")
@@ -119,7 +131,21 @@ class PreparedLut:
                 self._mode_errors[key] = simulate_mode_error(
                     self, interp, mode, probes=probes
                 )
+            if np.isfinite(self._mode_errors[key]) and self.gate_key:
+                from . import tiergate_cache
+
+                tiergate_cache.store_errors(
+                    self.gate_key, {persist_key: self._mode_errors[key]})
         return self._mode_errors[key]
+
+    def _persisted_errors(self) -> Dict[str, float]:
+        if not self.gate_key:
+            return {}
+        if "persist" not in self._sim_cache:
+            from . import tiergate_cache
+
+            self._sim_cache["persist"] = tiergate_cache.load_errors(self.gate_key)
+        return self._sim_cache["persist"]
 
     def resolve_precision(self, interp: str, requested: str = "auto",
                           budget: float = DE76_BUDGET) -> str:
@@ -336,6 +362,8 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_q, resid_scale, resid_bias = _int8_single(resid_lmat)
         resid_qp, resid_quad_widths = quad_permute(resid_q, n)
 
+    from .tiergate_cache import lut_gate_key
+
     return PreparedLut(
         lmat=lmat,
         lmat_hi=hi,
@@ -360,6 +388,7 @@ def prepare_lut(lut: Lut3D, force_coarse: bool = False) -> PreparedLut:
         resid_bias=resid_bias,
         resid_qp=resid_qp,
         resid_quad_widths=resid_quad_widths,
+        gate_key=lut_gate_key(table, lut.domain_min, lut.domain_max),
     )
 
 
@@ -440,6 +469,69 @@ def _np_tap_weights(interp: str, d: np.ndarray):
     raise ValueError(f"unknown interp {interp!r}")
 
 
+def _flat_corner_idx(p: np.ndarray, nx: np.ndarray, n: int) -> np.ndarray:
+    """(P, 2, 2, 2) flat indices of each probe's 2x2x2 cell corners into an
+    (N^3, 3)-flattened table — one fancy gather replaces the former 8-gather
+    corner loop (the simulator's dominant cost on this box's single core)."""
+    ri = np.stack([p[:, 0], nx[:, 0]], axis=1)  # (P, 2)
+    gi = np.stack([p[:, 1], nx[:, 1]], axis=1)
+    bi = np.stack([p[:, 2], nx[:, 2]], axis=1)
+    return (ri[:, :, None, None] * (n * n)
+            + gi[:, None, :, None] * n
+            + bi[:, None, None, :])
+
+
+def _gather8(table: np.ndarray, idx8: np.ndarray) -> np.ndarray:
+    """(P, 2, 2, 2, 3) cell corners of an (N, N, N, 3) table via flat idx."""
+    return table.reshape(-1, 3)[idx8]
+
+
+def _sim_geom(prep: PreparedLut, probes: int):
+    """Probe geometry shared by every mode of a ladder walk: points, prev
+    indices, fractional deltas, and the flat corner-gather indices."""
+    key = ("geom", probes)
+    if key not in prep._sim_cache:
+        n = prep.size
+        pts = _probe_points(n, probes)
+        s = np.clip(pts, 0, 1) * (n - 1)
+        p = np.minimum(np.floor(s).astype(np.int64), n - 1)
+        nx = np.minimum(p + 1, n - 1)
+        d = (s - p).astype(np.float32)
+        prep._sim_cache[key] = (pts, p, d, _flat_corner_idx(p, nx, n))
+    return prep._sim_cache[key]
+
+
+def _sim_taps(prep: PreparedLut, interp: str, probes: int):
+    key = ("taps", interp, probes)
+    if key not in prep._sim_cache:
+        _, _, d, _ = _sim_geom(prep, probes)
+        prep._sim_cache[key] = _np_tap_weights(interp, d)
+    return prep._sim_cache[key]
+
+
+def _sim_ref(prep: PreparedLut, interp: str, probes: int) -> np.ndarray:
+    """Exact f32 interpolation of the full table — the comparison baseline,
+    identical for every mode under a given interp."""
+    key = ("ref", interp, probes)
+    if key not in prep._sim_cache:
+        _, _, _, idx8 = _sim_geom(prep, probes)
+        prep._sim_cache[key] = _sim_passes(
+            _gather8(prep.table, idx8), _sim_taps(prep, interp, probes))
+    return prep._sim_cache[key]
+
+
+def _sim_ident(prep: PreparedLut, interp: str, probes: int) -> np.ndarray:
+    """The in-kernel exact identity term (every reduced tier stores the
+    identity-DETRENDED table) — mode-independent, cached per interp."""
+    key = ("ident", interp, probes)
+    if key not in prep._sim_cache:
+        _, _, _, idx8 = _sim_geom(prep, probes)
+        prep._sim_cache[key] = _sim_passes(
+            _gather8(_identity_table(prep.size), idx8),
+            _sim_taps(prep, interp, probes))
+    return prep._sim_cache[key]
+
+
 def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
                         probes: int = 60_000) -> float:
     """Replay the kernel's reduced-precision numerics in NumPy and return the
@@ -450,77 +542,46 @@ def simulate_mode_error(prep: PreparedLut, interp: str, mode: str,
     two int8 planes) and applies EXACT f32 corner weights post-dot, so the
     only modeled error is the quantized table (the in-kernel identity term
     is exact and added separately). The int32/f32 accumulations themselves
-    are exact, so NumPy f64 replay is a faithful upper-level model."""
-    import ml_dtypes
+    are exact, so NumPy f64 replay is a faithful upper-level model.
 
+    Everything mode-independent (probe geometry, tap weights, the exact
+    reference, the identity term) is computed once per (interp, probes) and
+    cached on the PreparedLut, so a ladder walk pays one quantized-table
+    gather + contraction per extra tier tried."""
     from ..colorcore.metrics import max_delta_e76
 
     if mode == "exact":
         return 0.0
     n = prep.size
-    pts = _probe_points(n, probes)
-    s = np.clip(pts, 0, 1) * (n - 1)
-    p = np.minimum(np.floor(s).astype(np.int64), n - 1)
-    nx = np.minimum(p + 1, n - 1)
-    d = (s - p).astype(np.float32)
-
-    passes = _np_tap_weights(interp, d)
-    table = prep.table  # (N, N, N, 3)
-
-    def corners(pi):  # gather the 2x2x2 cell, (P, 2, 2, 2, 3)
-        out = np.empty((len(pts), 2, 2, 2, 3), np.float32)
-        for a in range(2):
-            for b in range(2):
-                for c in range(2):
-                    ri = p[:, 0] if a == 0 else nx[:, 0]
-                    gi = p[:, 1] if b == 0 else nx[:, 1]
-                    bi = p[:, 2] if c == 0 else nx[:, 2]
-                    out[:, a, b, c] = pi[ri, gi, bi]
-        return out
-
-    cell = corners(table)
+    _, _, _, idx8 = _sim_geom(prep, probes)
+    rows = 3 * n
 
     if mode == "fast":
         import ml_dtypes as _mld
-        rows = 3 * n
+
         # the kernel's "fast" table is the bf16-rounded DETRENDED matrix
         # (identity added back exactly in-kernel); reconstruct likewise
         detr = prep.lmat[:rows] - _identity_lmat(n, prep.rows_pad)[:rows]
-        t_hi = detr.astype(_mld.bfloat16).astype(np.float32)
-        qt_flat = t_hi.reshape(3, n, n, n)  # (c, r, k, j)
-        qcell = corners(qt_flat.transpose(1, 3, 2, 0))  # (r, j, k, c)
-        w_quant = lambda w: w  # noqa: E731
+        qt_flat = detr.astype(_mld.bfloat16).astype(np.float32)
     elif mode in ("int8", "int8_fast", "int8_lite"):
-        rows = 3 * n
         s1 = prep.scale_q1[:rows] * 254.0   # (rows, 1), undo the /254 fold
         s2 = prep.scale_q2[:rows] * 254.0
         # the int8 planes hold the identity-DETRENDED table; the kernel adds
-        # the identity term from exact f32 weights — modelled below by
-        # interpolating the identity cells separately. "int8_lite" drops
-        # the q2 refinement plane (half the dot, rowmax/254 table error).
+        # the identity term from exact f32 weights — modelled via the cached
+        # _sim_ident term. "int8_lite" drops the q2 refinement plane (half
+        # the dot, rowmax/254 table error).
         qt_flat = prep.lmat_q1[:rows].astype(np.float32) * s1
         if mode != "int8_lite":
             qt_flat = qt_flat + prep.lmat_q2[:rows].astype(np.float32) * s2
-        qcell = corners(qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0))
-        w_quant = lambda w: w  # noqa: E731
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    def interp_with(cellv, weight_fn):
-        acc = np.zeros((len(pts), 3), np.float64)
-        for taps in passes:  # taps: (P, 3, 2)
-            gb = taps[:, 1, :, None] * taps[:, 2, None, :]  # (P, 2, 2)
-            gbq = weight_fn(gb)
-            # contract: r taps x (g,b) tile x cell values
-            w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
-            acc += np.einsum("pabc,pabcx->px", w_full, cellv)
-        return acc
-
-    ref = interp_with(cell, lambda w: w)
-    got = interp_with(qcell, w_quant)
-    # every reduced tier stores the detrended table; add the exact
-    # in-kernel identity term
-    got += interp_with(corners(_identity_table(n)), lambda w: w)
+    # (c, r, k, j) -> (r, j, k, c) table layout for the corner gather
+    qt = qt_flat.reshape(3, n, n, n).transpose(1, 3, 2, 0)
+    taps = _sim_taps(prep, interp, probes)
+    got = _sim_passes(_gather8(qt, idx8), taps)
+    got = got + _sim_ident(prep, interp, probes)
+    ref = _sim_ref(prep, interp, probes)
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),
         np.clip(got, 0, 1).astype(np.float32),
@@ -556,28 +617,73 @@ def remap_taps_to_coarse_np(p: np.ndarray, wp: np.ndarray, wn: np.ndarray):
     return ic, wpc, wnc
 
 
-def _gather_cells(table: np.ndarray, p: np.ndarray, n: int) -> np.ndarray:
-    """(P, 2, 2, 2, 3) cell corners at per-axis prev indices p (clamped)."""
-    nx = np.minimum(p + 1, n - 1)
-    out = np.empty((len(p), 2, 2, 2, 3), np.float32)
-    for a in range(2):
-        for b in range(2):
-            for c in range(2):
-                ri = p[:, 0] if a == 0 else nx[:, 0]
-                gi = p[:, 1] if b == 0 else nx[:, 1]
-                bi = p[:, 2] if c == 0 else nx[:, 2]
-                out[:, a, b, c] = table[ri, gi, bi]
-    return out
-
-
-def _sim_passes(cells: np.ndarray, passes, w_quant):
+def _sim_passes(cells: np.ndarray, passes):
+    """f64 contraction of (P, 2, 2, 2, 3) cell corners with per-pass tap
+    weight outer products — exact weights throughout (the hoisted-dot
+    kernel applies f32 weights post-dot; no weight quantization exists)."""
     acc = np.zeros((cells.shape[0], 3), np.float64)
     for taps in passes:  # (P, 3, 2)
         gb = taps[:, 1, :, None] * taps[:, 2, None, :]
-        gbq = w_quant(gb) if w_quant else gb
-        w_full = taps[:, 0, :, None, None] * gbq[:, None, :, :]
+        w_full = taps[:, 0, :, None, None] * gb[:, None, :, :]
         acc += np.einsum("pabc,pabcx->px", w_full, cells)
     return acc
+
+
+def _sim_coarse_geom(prep: PreparedLut, probes: int):
+    """Coarse-grid prev indices (ic = p // 2, interp-independent) and their
+    flat corner-gather indices."""
+    key = ("cgeom", probes)
+    if key not in prep._sim_cache:
+        _, p, _, _ = _sim_geom(prep, probes)
+        m = prep.coarse.size
+        ic = p // 2
+        nxc = np.minimum(ic + 1, m - 1)
+        prep._sim_cache[key] = (ic, _flat_corner_idx(ic, nxc, m))
+    return prep._sim_cache[key]
+
+
+def _sim_coarse_taps(prep: PreparedLut, interp: str, probes: int):
+    """Fine tap weights remapped onto the coarse grid (exact, separable)."""
+    key = ("ctaps", interp, probes)
+    if key not in prep._sim_cache:
+        _, p, _, _ = _sim_geom(prep, probes)
+        coarse_passes = []
+        for taps in _sim_taps(prep, interp, probes):
+            ct = np.empty_like(taps)
+            for ax in range(3):
+                _, ct[:, ax, 0], ct[:, ax, 1] = remap_taps_to_coarse_np(
+                    p[:, ax], taps[:, ax, 0], taps[:, ax, 1]
+                )
+            coarse_passes.append(ct)
+        prep._sim_cache[key] = coarse_passes
+    return prep._sim_cache[key]
+
+
+def _sim_coarse_ident(prep: PreparedLut, interp: str, probes: int):
+    key = ("cident", interp, probes)
+    if key not in prep._sim_cache:
+        _, idx8c = _sim_coarse_geom(prep, probes)
+        prep._sim_cache[key] = _sim_passes(
+            _gather8(_identity_table(prep.coarse.size), idx8c),
+            _sim_coarse_taps(prep, interp, probes))
+    return prep._sim_cache[key]
+
+
+def _sim_resid_term(prep: PreparedLut, resid_interp: str, probes: int):
+    """The residual term at single-plane int8 numerics — depends only on
+    the residual interp (the _tri substitution), not the coarse mode."""
+    key = ("resid", resid_interp, probes)
+    if key not in prep._sim_cache:
+        n = prep.size
+        rows_f = 3 * n
+        _, _, _, idx8 = _sim_geom(prep, probes)
+        sr = prep.resid_scale[:rows_f] * 127.0
+        r_table = (prep.resid_q[:rows_f].astype(np.float32) * sr).reshape(
+            3, n, n, n).transpose(1, 3, 2, 0)
+        prep._sim_cache[key] = _sim_passes(
+            _gather8(r_table, idx8),
+            _sim_taps(prep, resid_interp, probes))
+    return prep._sim_cache[key]
 
 
 def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
@@ -589,23 +695,21 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
     grid (remapped taps), residual term at single-plane int8 numerics with
     `resid_interp` (the trilinear substitution for tetrahedral is what this
     sim gates — exactness of the substitution depends on the residual's
-    cell-local spread, a per-LUT property)."""
+    cell-local spread, a per-LUT property).
+
+    The reference, remapped taps, coarse identity term, and residual term
+    are all coarse-mode-independent and cached on the PreparedLut; each
+    coarse tier tried costs one coarse-table gather + contraction."""
+    import ml_dtypes as _mld
+
     from ..colorcore.metrics import max_delta_e76
 
-    n = prep.size
-    m = prep.coarse.size
-    pts = _probe_points(n, probes)
-    s = np.clip(pts, 0, 1) * (n - 1)
-    p = np.minimum(np.floor(s).astype(np.int64), n - 1)
-    d = (s - p).astype(np.float32)
-
-    fine_passes = _np_tap_weights(interp, d)
-    ref = _sim_passes(_gather_cells(prep.table, p, n), fine_passes, None)
+    ref = _sim_ref(prep, interp, probes)
 
     # term 1: coarse grid, remapped taps
     cp = prep.coarse
+    m = cp.size
     rows_c = 3 * m
-    import ml_dtypes as _mld
     detr_c = cp.lmat[:rows_c] - _identity_lmat(m, cp.rows_pad)[:rows_c]
     if coarse_mode == "exact":
         # detrended bf16 hi/lo pair (~2^-17) + exact in-kernel identity;
@@ -614,12 +718,10 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         hi_d = detr_c.astype(_mld.bfloat16).astype(np.float32)
         lo_d = (detr_c - hi_d).astype(_mld.bfloat16).astype(np.float32)
         c_quant = hi_d + lo_d
-        w_qc = None
     elif coarse_mode == "fast":
         # detrended bf16-hi-only (2^-9 of the grading delta); weights
         # exact post-dot
         c_quant = detr_c.astype(_mld.bfloat16).astype(np.float32)
-        w_qc = None
     else:
         # int8 pair with exact post-dot weights (hoisted-dot structure):
         # the only coarse-term error is the quantized (detrended) table
@@ -627,35 +729,19 @@ def simulate_coarse_error(prep: PreparedLut, interp: str, resid_interp: str,
         sc2 = cp.scale_q2[:rows_c] * 254.0
         c_quant = (cp.lmat_q1[:rows_c].astype(np.float32) * sc1
                    + cp.lmat_q2[:rows_c].astype(np.float32) * sc2)
-        w_qc = None
     c_table = c_quant.reshape(3, m, m, m).transpose(1, 3, 2, 0)
-    coarse_passes = []
-    ic = None
-    for taps in fine_passes:
-        ct = np.empty_like(taps)
-        ic = np.empty_like(p)
-        for ax in range(3):
-            ic[:, ax], ct[:, ax, 0], ct[:, ax, 1] = remap_taps_to_coarse_np(
-                p[:, ax], taps[:, ax, 0], taps[:, ax, 1]
-            )
-        coarse_passes.append(ct)
-    got = _sim_passes(_gather_cells(c_table, ic, m), coarse_passes, w_qc)
+    _, idx8c = _sim_coarse_geom(prep, probes)
+    coarse_passes = _sim_coarse_taps(prep, interp, probes)
+    got = _sim_passes(_gather8(c_table, idx8c), coarse_passes)
     # every coarse tier stores the detrended table; the kernel adds the
     # identity term from the exact remapped weights
-    got += _sim_passes(_gather_cells(_identity_table(m), ic, m),
-                       coarse_passes, None)
+    got = got + _sim_coarse_ident(prep, interp, probes)
 
     # term 2: residual at fine resolution, single-plane int8 with exact
     # post-dot weights (hoisted-dot structure): only the table quantization
     # of the tiny residual remains (plus any _tri interp substitution via
-    # resid_passes)
-    rows_f = 3 * n
-    sr = prep.resid_scale[:rows_f] * 127.0
-    r_table = (prep.resid_q[:rows_f].astype(np.float32) * sr).reshape(
-        3, n, n, n).transpose(1, 3, 2, 0)
-    resid_passes = (fine_passes if resid_interp == interp
-                    else _np_tap_weights(resid_interp, d))
-    got += _sim_passes(_gather_cells(r_table, p, n), resid_passes, None)
+    # the resid taps)
+    got = got + _sim_resid_term(prep, resid_interp, probes)
 
     return float(max_delta_e76(
         np.clip(ref, 0, 1).astype(np.float32),

@@ -14,6 +14,9 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: env presets 'axon' (TPU)
+# Hermetic tier-gate results: never read/write the user's persistent gate
+# cache from tests (tests that want persistence point this at a tmp_path).
+os.environ.setdefault("LUT_TPU_TIERGATE_CACHE", "")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
