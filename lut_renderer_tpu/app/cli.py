@@ -10,7 +10,8 @@ of the pixel path; SURVEY.md §7.7). Subcommands:
   client    send one request to a running daemon
   probe     print probe info for files (ffprobe-replacement output)
   presets   list / show / save / delete / rename parameter presets
-  luts      show / clean / filter the LUT history
+  luts      show / clean / filter the LUT history; gate = pre-run the
+            per-LUT precision gate into the persistent cache
   encoders  list encoders available in the bundled libraries
   thumb     generate a cached thumbnail for a file
   doctor    environment health check
@@ -397,6 +398,8 @@ def cmd_presets(args) -> int:
 
 
 def cmd_luts(args) -> int:
+    if args.action == "gate":
+        return _gate_luts(args)
     if args.action == "clean":
         cleanup_lut_history()
     needle = (args.filter or "").lower()
@@ -406,6 +409,43 @@ def cmd_luts(args) -> int:
         mark = "*" if i == 0 else " "
         print(f"{mark} {path}")
     return 0
+
+
+def _gate_luts(args) -> int:
+    """Pre-run the per-LUT precision gate for a LUT library so first renders
+    skip the simulation: the tier-gate analog of `serve --warmup` (which
+    pre-compiles the programs). Results persist by LUT content hash
+    (ops.tiergate_cache), so this is one-time per LUT per machine."""
+    import time as _time
+
+    from ..colorcore import parse_cube_file
+    from ..ops import prepare_lut
+
+    paths = [Path(p) for p in (args.paths or [])]
+    if not paths:
+        paths = [Path(p) for p in lut_history()]
+    if not paths:
+        print("no LUTs given and history is empty "
+              "(usage: luts gate [paths...])")
+        return 1
+    failed = 0
+    for path in paths:
+        try:
+            t0 = _time.perf_counter()
+            prep = prepare_lut(parse_cube_file(path))
+            tiers = []
+            for interp in ("tetrahedral", "trilinear"):
+                tier = prep.resolve_precision(interp)
+                err = (prep.mode_error(interp, tier)
+                       if tier != "exact" else 0.0)
+                tiers.append(f"{interp}={tier} (dE76 {err:.3f})")
+            dt = _time.perf_counter() - t0
+            print(f"  {path.name}: {prep.size}^3  "
+                  f"{'  '.join(tiers)}  [{dt:.2f}s]")
+        except Exception as exc:
+            failed += 1
+            print(f"  {path}: FAILED {str(exc)[:120]}")
+    return 1 if failed else 0
 
 
 def cmd_encoders(args) -> int:
@@ -674,7 +714,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     luts = sub.add_parser("luts", help="LUT history")
     luts.add_argument("action", nargs="?", default="list",
-                      choices=["list", "clean"])
+                      choices=["list", "clean", "gate"])
+    luts.add_argument("paths", nargs="*", default=[],
+                      help="for `gate`: .cube files to pre-gate into the "
+                           "persistent tier-gate cache (default: the "
+                           "whole LUT history)")
     luts.add_argument("--filter", help="substring filter on history paths")
     luts.set_defaults(fn=cmd_luts)
 

@@ -19,6 +19,9 @@ SETTINGS_FILE = "settings.json"
 
 
 def _config_root() -> Path:
+    env = os.environ.get("LUT_TPU_CONFIG_DIR")
+    if env:
+        return Path(env)
     try:
         from platformdirs import user_config_dir
 

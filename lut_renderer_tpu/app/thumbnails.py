@@ -17,12 +17,16 @@ from .settings import APP_NAME
 
 
 def _thumb_dir() -> Path:
-    try:
-        from platformdirs import user_cache_dir
+    env = os.environ.get("LUT_TPU_THUMB_DIR")
+    if env:
+        path = Path(env)
+    else:
+        try:
+            from platformdirs import user_cache_dir
 
-        path = Path(user_cache_dir(APP_NAME)) / "thumbs"
-    except Exception:
-        path = Path(os.path.expanduser("~/.cache")) / APP_NAME / "thumbs"
+            path = Path(user_cache_dir(APP_NAME)) / "thumbs"
+        except Exception:
+            path = Path(os.path.expanduser("~/.cache")) / APP_NAME / "thumbs"
     path.mkdir(parents=True, exist_ok=True)
     return path
 

@@ -17,6 +17,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: env presets 'axon' (TPU)
 # Hermetic tier-gate results: never read/write the user's persistent gate
 # cache from tests (tests that want persistence point this at a tmp_path).
 os.environ.setdefault("LUT_TPU_TIERGATE_CACHE", "")
+# Hermetic settings/presets/LUT-history: tests previously leaked entries into
+# the REAL user config dir (pytest tmp paths showed up in `luts list`).
+import tempfile as _tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "LUT_TPU_CONFIG_DIR", _tempfile.mkdtemp(prefix="lut_tpu_test_cfg_"))
+os.environ.setdefault(
+    "LUT_TPU_THUMB_DIR", _tempfile.mkdtemp(prefix="lut_tpu_test_thumbs_"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -398,3 +398,42 @@ def test_create_tasks_creates_master_dir(tmp_path, monkeypatch):
     )
     assert master.is_dir()
     assert batch.tasks and batch.tasks[0].intermediate_path.parent == master
+
+
+def test_config_dir_env_override(tmp_path, monkeypatch):
+    """LUT_TPU_CONFIG_DIR redirects ALL settings/history/preset persistence
+    (conftest sets it so tests never touch the real user config dir)."""
+    from lut_renderer_tpu.app import settings as settings_mod
+
+    monkeypatch.setenv("LUT_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    assert settings_mod.settings_path() == tmp_path / "cfg" / "settings.json"
+    settings_mod.save_settings({"k": 1})
+    assert (tmp_path / "cfg" / "settings.json").exists()
+    assert settings_mod.load_settings() == {"k": 1}
+
+
+def test_cli_luts_gate(tmp_path, monkeypatch, capsys):
+    """`luts gate <cube>` pre-runs the per-LUT precision gate and persists
+    the result by content hash (the tier-gate analog of serve --warmup)."""
+    import numpy as np
+
+    from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+
+    gate_dir = tmp_path / "tiergate"
+    monkeypatch.setenv("LUT_TPU_TIERGATE_CACHE", str(gate_dir))
+    rng = np.random.default_rng(3)
+    lut = Lut3D.identity(17)
+    lut.table = np.clip(
+        lut.table + rng.uniform(-0.04, 0.04, lut.table.shape
+                                ).astype(np.float32), 0, 1)
+    cube = tmp_path / "look.cube"
+    write_cube_file(cube, lut)
+
+    assert cli_main(["luts", "gate", str(cube)]) == 0
+    out = capsys.readouterr().out
+    assert "look.cube" in out and "tetrahedral=" in out
+    files = list(gate_dir.glob("*.json"))
+    assert len(files) == 1 and files[0].read_text().strip().startswith("{")
+
+    # a bad path reports failure without crashing the batch
+    assert cli_main(["luts", "gate", str(tmp_path / "missing.cube")]) == 1
