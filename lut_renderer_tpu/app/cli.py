@@ -418,12 +418,16 @@ def _gate_luts(args) -> int:
     (ops.tiergate_cache), so this is one-time per LUT per machine."""
     import time as _time
 
-    from ..colorcore import parse_cube_file
-    from ..ops import prepare_lut
+    # jax-free imports: the gate is pure NumPy and must work even when the
+    # TPU plugin/tunnel is unusable (importing jax can hang — CLAUDE.md)
+    from ..colorcore.cube import parse_cube_file
+    from ..ops.prepare import prepare_lut
 
     paths = [Path(p) for p in (args.paths or [])]
     if not paths:
-        paths = [Path(p) for p in lut_history()]
+        needle = (args.filter or "").lower()
+        paths = [Path(p) for p in lut_history()
+                 if not needle or needle in str(p).lower()]
     if not paths:
         print("no LUTs given and history is empty "
               "(usage: luts gate [paths...])")

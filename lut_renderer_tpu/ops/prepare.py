@@ -91,7 +91,7 @@ class PreparedLut:
     resid_quad_widths: Optional[Tuple[int, int, int, int]] = None
     # content hash for the persistent tier-gate cache (tiergate_cache.py)
     gate_key: str = ""
-    _mode_errors: Dict[Tuple[str, str], float] = field(default_factory=dict)
+    _mode_errors: Dict[Tuple[str, str, int], float] = field(default_factory=dict)
     _auto_cache: Dict[str, str] = field(default_factory=dict)
     # lazily built, mode-independent simulator state (probe geometry, exact
     # reference, identity/residual terms) shared across the ladder walk —
@@ -109,7 +109,7 @@ class PreparedLut:
         """Simulated worst-case dE76 of `mode` vs the f32 reference for this
         LUT under `interp` (cached in-memory and, keyed by LUT content hash,
         persistently across processes — tiergate_cache.py)."""
-        key = (interp, mode)
+        key = (interp, mode, probes)
         if key not in self._mode_errors:
             persist_key = f"{interp}:{mode}:{probes}"
             stored = self._persisted_errors()
@@ -193,7 +193,19 @@ class PreparedLut:
                 choice = mode
                 break
         self._auto_cache[interp] = choice
+        # the shared simulator scratch (probe geometry, f64 ref/ident/resid
+        # terms, tap stacks — tens of MB at 74k probes) is only useful
+        # DURING a ladder walk; the gate RESULTS live in _mode_errors and
+        # the persistent cache. Drop the scratch so warm daemons caching
+        # PreparedLuts (tasks.runner._LUT_CACHE) don't retain it.
+        self._drop_sim_scratch()
         return choice
+
+    def _drop_sim_scratch(self) -> None:
+        persist = self._sim_cache.get("persist")
+        self._sim_cache.clear()
+        if persist is not None:
+            self._sim_cache["persist"] = persist
 
 
 def _identity_lmat(n: int, rows_pad: int) -> np.ndarray:

@@ -11,8 +11,11 @@ the simulation entirely.
 
 Layout: one JSON file per LUT content hash under ``<user cache
 dir>/tiergate/<sha1>.json`` mapping ``"interp:mode:probes" -> max dE76``.
-Writes are atomic (tmp + replace) and merge with any concurrent writer's
-keys. ``LUT_TPU_TIERGATE_CACHE`` overrides the directory; the empty string
+Writes are atomic (tmp + replace) and merge into the writer's own read
+snapshot — concurrent writers are last-writer-wins, so a racing process can
+drop the other's fresh keys; the loss is benign (that entry is simply
+re-simulated on its next miss), which is why no lock file is used.
+``LUT_TPU_TIERGATE_CACHE`` overrides the directory; the empty string
 disables persistence (in-memory caching on the PreparedLut still applies).
 
 Mirrors utils/compile_cache.py, which does the same job for XLA programs —
@@ -70,13 +73,17 @@ def load_errors(key: str) -> Dict[str, float]:
     try:
         with open(base / f"{key}.json", "r", encoding="utf-8") as fh:
             data = json.load(fh)
-        return {k: float(v) for k, v in data.items()} if isinstance(data, dict) else {}
-    except (OSError, ValueError):
+        if not isinstance(data, dict):
+            return {}
+        return {k: float(v) for k, v in data.items()
+                if isinstance(v, (int, float))}
+    except (OSError, ValueError, TypeError):
         return {}
 
 
 def store_errors(key: str, errors: Dict[str, float]) -> None:
-    """Merge ``errors`` into the LUT's cache file (atomic, best-effort)."""
+    """Merge ``errors`` into the LUT's cache file (atomic, best-effort;
+    see the module docstring for the concurrent-writer semantics)."""
     base = gate_cache_dir()
     if base is None or not errors:
         return

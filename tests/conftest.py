@@ -14,17 +14,20 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: env presets 'axon' (TPU)
-# Hermetic tier-gate results: never read/write the user's persistent gate
-# cache from tests (tests that want persistence point this at a tmp_path).
-os.environ.setdefault("LUT_TPU_TIERGATE_CACHE", "")
-# Hermetic settings/presets/LUT-history: tests previously leaked entries into
-# the REAL user config dir (pytest tmp paths showed up in `luts list`).
+# Hermetic user state: tests must never read/write the real persistent
+# tier-gate cache, config dir (settings/presets/LUT history — pytest tmp
+# paths used to leak into `luts list`), or thumbnail cache. Force-set (not
+# setdefault: a developer shell with these exported would otherwise pierce
+# the isolation); tests wanting persistence monkeypatch to a tmp_path.
+import atexit as _atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
 import tempfile as _tempfile  # noqa: E402
 
-os.environ.setdefault(
-    "LUT_TPU_CONFIG_DIR", _tempfile.mkdtemp(prefix="lut_tpu_test_cfg_"))
-os.environ.setdefault(
-    "LUT_TPU_THUMB_DIR", _tempfile.mkdtemp(prefix="lut_tpu_test_thumbs_"))
+os.environ["LUT_TPU_TIERGATE_CACHE"] = ""
+for _var in ("LUT_TPU_CONFIG_DIR", "LUT_TPU_THUMB_DIR"):
+    _tmp = _tempfile.mkdtemp(prefix=f"lut_tpu_test_{_var[8:14].lower()}_")
+    os.environ[_var] = _tmp
+    _atexit.register(_shutil.rmtree, _tmp, ignore_errors=True)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
