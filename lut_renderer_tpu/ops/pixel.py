@@ -103,11 +103,19 @@ def _bayer(depth_order: int = 4) -> np.ndarray:
     return _BAYER
 
 
-def hash_noise_offsets_jnp(h: int, w: int, plane_seed: int = 0) -> jnp.ndarray:
+def hash_noise_offsets_jnp(h: int, w: int, plane_seed: int = 0,
+                           row_stride: int = 1,
+                           row_offset: int = 0) -> jnp.ndarray:
     """jnp twin of colorcore.dither.hash_noise_offsets: zero-mean uniform
     offsets in (-0.5, 0.5) from a stateless murmur3-finalizer position hash —
-    identical bits to the NumPy reference so all execution paths agree."""
+    identical bits to the NumPy reference so all execution paths agree.
+
+    row_stride/row_offset map plane row r to absolute row r*stride+offset so
+    a row-phase half-plane (render._render_rowphase_420) gets the SAME bits
+    the full-res plane would at those rows."""
     rows = jax.lax.broadcasted_iota(jnp.uint32, (h, w), 0)
+    if row_stride != 1 or row_offset:
+        rows = rows * jnp.uint32(row_stride) + jnp.uint32(row_offset)
     cols = jax.lax.broadcasted_iota(jnp.uint32, (h, w), 1)
     x = ((rows * jnp.uint32(0x9E3779B1))
          ^ (cols * jnp.uint32(0x85EBCA77))
@@ -122,7 +130,8 @@ def hash_noise_offsets_jnp(h: int, w: int, plane_seed: int = 0) -> jnp.ndarray:
 
 def quantize_plane(x, depth: int, dither: str = "none",
                    tile_offset: Tuple[int, int] = (0, 0),
-                   plane_seed: int = 0):
+                   plane_seed: int = 0,
+                   row_stride: int = 1, row_offset: int = 0):
     """Float code values -> integer plane at `depth` bits.
 
     dither "none": round-to-nearest (floor(x+0.5), FFmpeg convention);
@@ -131,10 +140,20 @@ def quantize_plane(x, depth: int, dither: str = "none",
     no tiling structure). Both are TPU substitutes for zscale's serial
     error diffusion (policy note in plan.policy; exact host ED exists via
     native_ext).
+
+    row_stride/row_offset declare that plane row r sits at absolute row
+    r*stride+offset of the full-res frame (the row-phase 420 layout); both
+    dithers then produce bit-identical offsets to the full-res plane sliced
+    at those rows (verified in tests/test_render_rowphase.py).
     """
     maxv = (1 << depth) - 1
     if dither == "ordered":
-        pat = jnp.asarray(_bayer())
+        pat = _bayer()
+        if row_stride != 1 or row_offset:
+            if tile_offset != (0, 0):
+                raise ValueError("tile_offset with row_stride is unsupported")
+            pat = pat[row_offset::row_stride]
+        pat = jnp.asarray(pat)
         th, tw = pat.shape
         h, w = x.shape[-2], x.shape[-1]
         oy, ox = tile_offset
@@ -143,7 +162,8 @@ def quantize_plane(x, depth: int, dither: str = "none",
         tiled = jnp.tile(pat, (reps_h, reps_w))[oy:oy + h, ox:ox + w]
         x = x + tiled
     elif dither == "random":
-        x = x + hash_noise_offsets_jnp(x.shape[-2], x.shape[-1], plane_seed)
+        x = x + hash_noise_offsets_jnp(x.shape[-2], x.shape[-1], plane_seed,
+                                       row_stride, row_offset)
     out = jnp.clip(jnp.floor(x + 0.5), 0, maxv)
     return out.astype(jnp.uint8 if depth <= 8 else jnp.uint16)
 

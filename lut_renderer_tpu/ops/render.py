@@ -70,6 +70,11 @@ class RenderConfig:
     # (ffmpeg.py:312-313); None keeps source size. Bilinear resize on the RGB
     # planes after the LUT.
     resize: Optional[Tuple[int, int]] = None
+    # 420->420 pixel layout. "auto" uses the ROW-PHASE half-height layout
+    # whenever applicable (bit-identical output, ~3.5% faster fused frame at
+    # 4K/8K — experiments/FINDINGS.md "Phase-decomposed 420 pipeline");
+    # "plain" forces the straight full-res layout (tests/measurement).
+    phase_layout: str = "auto"
 
 
 def _upsample(u, v, subsampling: str, mode: str):
@@ -88,6 +93,87 @@ def _downsample(u, v, subsampling: str):
     return u, v
 
 
+def _rowphase_applicable(y, u, cfg: RenderConfig) -> bool:
+    """True when the frame can take the row-phase 420 layout: 420 in and out
+    with nearest chroma siting, no resize, and geometry that factors exactly
+    (full-res H, W = 2x the chroma plane). Error-diffusion output is float
+    full-res planes, so that path stays plain too."""
+    return (
+        cfg.phase_layout == "auto"
+        and cfg.in_subsampling == "420"
+        and cfg.out_subsampling == "420"
+        and cfg.chroma_up == "nearest"
+        and cfg.resize is None
+        and cfg.dither != "error_diffusion_host"
+        and y.ndim >= 2
+        and y.shape[-2] == 2 * u.shape[-2]
+        and y.shape[-1] == 2 * u.shape[-1]
+    )
+
+
+def _render_rowphase_420(y, u, v, prep, cfg, interpret, lut_operands):
+    """Row-phase twin of the plain pipeline for 420->420 nearest: y splits
+    into two half-height row phases (sublane-strided reads — cheap; the
+    lane-strided 4-phase variant measured 590 ms/plane at 8K and is dead,
+    FINDINGS "Phase-decomposed 420 pipeline"), both pair elementwise with a
+    single lane-dupped chroma plane (== exact nearest upsample), the 2x2 box
+    downsample becomes lane adds per phase + a phase add in the production
+    grouping, and only the final quantized y pays one row interleave
+    (stack(-2)+reshape — the cheapest measured route). Bit-identical to the
+    plain path per-pixel: same scalar ops on the same values, dither offsets
+    phase-mapped (quantize_plane row_stride/row_offset)."""
+    yp = jnp.stack([y[..., 0::2, :], y[..., 1::2, :]], axis=-3)
+    ud = jnp.repeat(u, 2, axis=-1)[..., None, :, :]
+    vd = jnp.repeat(v, 2, axis=-1)[..., None, :, :]
+
+    yf = yp.astype(jnp.float32)
+    uf = ud.astype(jnp.float32)
+    vf = vd.astype(jnp.float32)
+    yf, uf, vf = range_normalize(
+        yf, uf, vf, cfg.in_depth, cfg.in_full_range, cfg.work_full_range
+    )
+    if cfg.requantize_intermediate and cfg.in_full_range != cfg.work_full_range:
+        maxv = float((1 << cfg.in_depth) - 1)
+        yf = jnp.clip(jnp.floor(yf + 0.5), 0, maxv)
+        uf = jnp.clip(jnp.floor(uf + 0.5), 0, maxv)
+        vf = jnp.clip(jnp.floor(vf + 0.5), 0, maxv)
+
+    r, g, b = yuv_planes_to_rgb(
+        yf, uf, vf, cfg.matrix_in, cfg.in_depth, cfg.work_full_range
+    )
+    r, g, b = (jnp.broadcast_to(t, yf.shape) for t in (r, g, b))
+    if cfg.apply_lut and prep is not None:
+        r, g, b = apply_lut_planes(
+            r, g, b, prep, cfg.interp, strategy=cfg.lut_strategy,
+            precision=cfg.lut_precision, interpret=interpret,
+            operands=lut_operands,
+        )
+    yo, uo, vo = rgb_to_yuv_planes_tpu(
+        r, g, b, cfg.matrix_out, cfg.out_depth, cfg.out_full_range
+    )
+
+    # 2x2 box downsample == lane adds per phase, then the phase add — the
+    # exact add grouping of chroma_downsample_420 on the full-res plane.
+    def _down(c):
+        a = c[..., :, 0::2] + c[..., :, 1::2]
+        return (a[..., 0, :, :] + a[..., 1, :, :]) * 0.25
+
+    uo, vo = _down(uo), _down(vo)
+
+    def _ilv(e, o):
+        hc, w = e.shape[-2], e.shape[-1]
+        return jnp.stack([e, o], axis=-2).reshape(e.shape[:-2] + (2 * hc, w))
+
+    ye, yod = yo[..., 0, :, :], yo[..., 1, :, :]
+    yq_e = quantize_plane(ye, cfg.out_depth, cfg.dither, plane_seed=1,
+                          row_stride=2, row_offset=0)
+    yq_o = quantize_plane(yod, cfg.out_depth, cfg.dither, plane_seed=1,
+                          row_stride=2, row_offset=1)
+    uq = quantize_plane(uo, cfg.out_depth, cfg.dither, plane_seed=2)
+    vq = quantize_plane(vo, cfg.out_depth, cfg.dither, plane_seed=3)
+    return _ilv(yq_e, yq_o), uq, vq
+
+
 def render_yuv_frame(
     y, u, v,
     prep: Optional[PreparedLut],
@@ -99,6 +185,9 @@ def render_yuv_frame(
     planes (uint8/uint16) at cfg.in_depth with cfg.in_subsampling chroma.
     lut_operands: optional table-operand dict (lut3d.kernel_operands) so the
     jitted program stays LUT-agnostic — see make_render_fn."""
+    if _rowphase_applicable(y, u, cfg):
+        return _render_rowphase_420(y, u, v, prep, cfg, interpret,
+                                    lut_operands)
     yf = y.astype(jnp.float32)
     uf = u.astype(jnp.float32)
     vf = v.astype(jnp.float32)
