@@ -129,3 +129,27 @@ def test_quantize_row_stride_rejects_tile_offset():
     x = np.zeros((8, 8), np.float32)
     with pytest.raises(ValueError):
         quantize_plane(x, 8, "ordered", tile_offset=(1, 0), row_stride=2)
+
+
+def test_rowphase_fuzz_random_configs(prep):
+    """Seeded sweep over the config space: any applicable config must be
+    bit-identical between layouts; non-applicable ones must hit the plain
+    path (trivially equal). Broader than the targeted cases above."""
+    rng = np.random.default_rng(2024)
+    for _ in range(12):
+        in_depth = int(rng.choice([8, 10, 12]))
+        out_depth = int(rng.choice([8, 10]))
+        cfg = RenderConfig(
+            in_depth=in_depth,
+            out_depth=out_depth,
+            in_full_range=bool(rng.integers(2)),
+            work_full_range=bool(rng.integers(2)),
+            out_full_range=bool(rng.integers(2)),
+            matrix_in=str(rng.choice(["bt709", "bt601", "bt2020"])),
+            matrix_out=str(rng.choice(["bt709", "bt601"])),
+            interp=str(rng.choice(["trilinear", "tetrahedral"])),
+            dither=str(rng.choice(["none", "ordered", "random"])),
+            requantize_intermediate=bool(rng.integers(2)),
+            lut_strategy="gather",
+        )
+        _assert_layouts_equal(prep, cfg, b=1, h=32, w=48)
