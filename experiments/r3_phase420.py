@@ -119,7 +119,8 @@ def scan_chain(body, k=8):
 
 
 cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral",
-                   dither="none", lut_strategy="mxu")
+                   dither="none", lut_strategy="mxu",
+                   phase_layout="plain")  # baseline arm stays the plain path
 
 for (H, W, B, tag) in ((4320, 7680, 2, "8K"), (2160, 3840, 4, "4K")):
     hi = 1023

@@ -146,7 +146,9 @@ for (H, W, B, depth, tag) in (CONFIGS[s] for s in SEL):
     hi = (1 << depth) - 1
     dt = np.uint16 if depth > 8 else np.uint8
     cfg = RenderConfig(in_depth=depth, out_depth=depth, interp="tetrahedral",
-                       dither="none", lut_strategy="mxu")
+                       dither="none", lut_strategy="mxu",
+                       phase_layout="plain")  # baseline arm: the plain path
+                       # (render_yuv_frame defaults to rowphase post-integration)
     y = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
                                  (B, H, W)).astype(dt))
     u = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,

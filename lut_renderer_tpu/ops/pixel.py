@@ -152,6 +152,10 @@ def quantize_plane(x, depth: int, dither: str = "none",
         if row_stride != 1 or row_offset:
             if tile_offset != (0, 0):
                 raise ValueError("tile_offset with row_stride is unsupported")
+            if pat.shape[0] % row_stride or not 0 <= row_offset < row_stride:
+                raise ValueError(
+                    f"row_stride {row_stride} must divide the "
+                    f"{pat.shape[0]}-row dither tile (offset < stride)")
             pat = pat[row_offset::row_stride]
         pat = jnp.asarray(pat)
         th, tw = pat.shape

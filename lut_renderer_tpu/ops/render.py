@@ -98,6 +98,8 @@ def _rowphase_applicable(y, u, cfg: RenderConfig) -> bool:
     with nearest chroma siting, no resize, and geometry that factors exactly
     (full-res H, W = 2x the chroma plane). Error-diffusion output is float
     full-res planes, so that path stays plain too."""
+    if cfg.phase_layout not in ("auto", "plain"):
+        raise ValueError(f"unknown phase_layout {cfg.phase_layout!r}")
     return (
         cfg.phase_layout == "auto"
         and cfg.in_subsampling == "420"
@@ -138,10 +140,11 @@ def _render_rowphase_420(y, u, v, prep, cfg, interpret, lut_operands):
         uf = jnp.clip(jnp.floor(uf + 0.5), 0, maxv)
         vf = jnp.clip(jnp.floor(vf + 0.5), 0, maxv)
 
+    # every output of yuv_planes_to_rgb contains the luma term, so r/g/b
+    # are already broadcast to the full (.., 2, Hc, W) phase shape
     r, g, b = yuv_planes_to_rgb(
         yf, uf, vf, cfg.matrix_in, cfg.in_depth, cfg.work_full_range
     )
-    r, g, b = (jnp.broadcast_to(t, yf.shape) for t in (r, g, b))
     if cfg.apply_lut and prep is not None:
         r, g, b = apply_lut_planes(
             r, g, b, prep, cfg.interp, strategy=cfg.lut_strategy,

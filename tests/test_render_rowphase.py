@@ -153,3 +153,12 @@ def test_rowphase_fuzz_random_configs(prep):
             lut_strategy="gather",
         )
         _assert_layouts_equal(prep, cfg, b=1, h=32, w=48)
+
+
+def test_phase_layout_validated():
+    rng = np.random.default_rng(1)
+    y, u, v = _planes(rng, 1, 16, 16, 8)
+    with pytest.raises(ValueError):
+        render_yuv_frame(y, u, v, None,
+                         RenderConfig(apply_lut=False, phase_layout="Auto"),
+                         interpret=True)
