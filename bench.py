@@ -285,7 +285,9 @@ def main() -> int:
         # extras get their own budget from HERE: the pre-extras phase
         # (axon tunnel spin-up + CPU baseline + parity) can alone eat a
         # fixed absolute deadline on a cold process
-        result.update(measure_extra_configs(lut, time.perf_counter() + 420.0))
+        # 560 s: at 420 the last field (8k or config1) was truncated on
+        # warm-cache runs — the extras now cover 5 fused configs
+        result.update(measure_extra_configs(lut, time.perf_counter() + 560.0))
 
     print(json.dumps(result))
     return 0
