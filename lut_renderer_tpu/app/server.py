@@ -81,10 +81,22 @@ class QueueServer:
             return {"ok": True}
         if op == "reprocess":
             # re-enqueue a finished task with a fresh output name and
-            # optionally fresh params (reference: _reprocess_selected)
+            # optionally fresh params (reference: _reprocess_selected
+            # re-snapshots the full param set — the headless analog is a
+            # PARTIAL overlay on the task's current params; building a bare
+            # ProcessingParams from the partial dict would resurrect the
+            # libx264 dataclass default the submit path already guards
+            # against, failing at encode open — caught live-driving serve)
             task_id = req.get("task_id", "")
-            params = (ProcessingParams.from_dict(req["params"])
-                      if req.get("params") else None)
+            params = None
+            if req.get("params"):
+                task = self.manager.tasks.get(task_id)
+                if task is None:
+                    return {"ok": False,
+                            "error": f"unknown task {task_id!r}"}
+                merged = task.params.to_dict()
+                merged.update(req["params"])
+                params = ProcessingParams.from_dict(merged)
             ok = self.manager.reprocess_task(task_id, params=params)
             if not ok:
                 return {"ok": False,

@@ -127,6 +127,31 @@ def test_serve_reprocess(served):
     assert not request(sock, {"op": "reprocess", "task_id": "ghost"})["ok"]
 
 
+def test_serve_reprocess_partial_params_inherit(served):
+    """Reprocess params are a PARTIAL overlay on the task's current params:
+    a request changing only `lut_interp` must keep the resolved codec (the bare
+    dataclass default is libx264, absent from the bundled libavcodec —
+    caught live-driving serve: the reprocessed task failed at encode open)."""
+    server, sock, clip, cube, tmp = served
+    resp = request(sock, {
+        "op": "submit", "files": [str(clip)], "lut": str(cube),
+        "out_dir": str(tmp / "outp"),
+    })
+    (tid,) = resp["task_ids"]
+    assert _wait_done(sock, [tid])[tid]["status"] == "completed"
+    codec = server.manager.tasks[tid].params.video_codec
+    assert codec != "libx264"
+    rep = request(sock, {"op": "reprocess", "task_id": tid,
+                         "params": {"lut_interp": "trilinear"}})
+    assert rep["ok"], rep
+    assert server.manager.tasks[tid].params.video_codec == codec
+    assert server.manager.tasks[tid].params.lut_interp == "trilinear"
+    second = _wait_done(sock, [tid])[tid]
+    assert second["status"] == "completed", second
+    assert not request(sock, {"op": "reprocess", "task_id": "missing",
+                              "params": {"lut_interp": "trilinear"}})["ok"]
+
+
 def test_serve_concurrent_clients(served):
     """Several clients hammering status/ping concurrently get coherent
     responses (threaded handler, shared manager)."""
