@@ -649,6 +649,17 @@ def cmd_thumb(args) -> int:
     return 0
 
 
+def cmd_icon(args) -> int:
+    """Generate the app icon PNG set (reference: icon.py paints it
+    in-memory at 7 sizes with no asset files; headless analog writes
+    the same motif as PNGs for packaging)."""
+    from .icon import write_icon_pngs
+
+    for p in write_icon_pngs(Path(args.out)):
+        print(p)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="lut-tpu",
@@ -733,6 +744,11 @@ def build_parser() -> argparse.ArgumentParser:
     thumb.add_argument("file")
     thumb.add_argument("--width", type=int, default=160)
     thumb.set_defaults(fn=cmd_thumb)
+
+    icon = sub.add_parser("icon", help="write the app icon PNG set")
+    icon.add_argument("--out", default="dist/icons",
+                      help="destination directory (default dist/icons)")
+    icon.set_defaults(fn=cmd_icon)
 
     doctor = sub.add_parser("doctor", help="environment health check")
     doctor.add_argument("--warmup", action="store_true",

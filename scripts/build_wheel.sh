@@ -18,5 +18,10 @@ python -m pip wheel --no-deps -w dist . 2>/dev/null \
   || python setup.py bdist_wheel 2>/dev/null \
   || python -m build --wheel --no-isolation
 
+# App icon set (reference paints it in-memory via Qt, icon.py:16-29; the
+# headless analog generates the same motif as PNGs for any shell/installer).
+python -m lut_renderer_tpu.app.cli icon --out dist/icons >/dev/null \
+  && echo "icons: dist/icons/" || echo "icon generation skipped"
+
 echo "built:"
 ls -l dist/ | tail -n +2

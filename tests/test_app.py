@@ -437,3 +437,35 @@ def test_cli_luts_gate(tmp_path, monkeypatch, capsys):
 
     # a bad path reports failure without crashing the batch
     assert cli_main(["luts", "gate", str(tmp_path / "missing.cube")]) == 1
+
+
+def test_icon_pngs(tmp_path, capsys):
+    """Headless analog of the reference's procedural app icon
+    (icon.py:16-29): same 7 sizes, RGBA, transparent corners, the indigo
+    back-face grid present, deterministic output."""
+    from lut_renderer_tpu.app.icon import ICON_SIZES, render_icon, write_icon_pngs
+
+    assert ICON_SIZES == (16, 24, 32, 48, 64, 128, 256)
+    paths = write_icon_pngs(tmp_path)
+    assert [p.name for p in paths] == [f"lut-tpu_{s}.png" for s in ICON_SIZES]
+    from PIL import Image
+
+    for p, s in zip(paths, ICON_SIZES):
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (s, s, 4) and arr.dtype == np.uint8
+    big = np.asarray(Image.open(paths[-1]))
+    # corners transparent (rounded rect), center opaque
+    assert big[0, 0, 3] == 0 and big[-1, -1, 3] == 0
+    assert big[128, 128, 3] == 255
+    # indigo back-face strokes present: pixels near (99, 102, 241)
+    rgb = big[..., :3].astype(int)
+    indigo = (abs(rgb - np.array([99, 102, 241])).sum(-1) < 120) & (big[..., 3] > 200)
+    assert indigo.mean() > 0.01
+    # deterministic
+    assert np.array_equal(render_icon(64), render_icon(64))
+    # CLI surface
+    rc = cli_main(["icon", "--out", str(tmp_path / "cli")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lut-tpu_256.png" in out
+    assert (tmp_path / "cli" / "lut-tpu_16.png").exists()
