@@ -31,7 +31,10 @@ import numpy as np
 
 H, W = 2160, 3840
 BATCH = 8       # frames per device step
-CHAIN = 3       # steps chained inside one jit call
+CHAIN = 12      # steps chained inside one jit call (unrolled; swept 3/6/12/24
+                # on-chip: 58.2/60.8/62.3/63.1 fps — 12 is within 1% of the
+                # kernel floor with a tight spread and moderate compile cost;
+                # lax.scan chaining measured SLOWER here, f32 carry cost)
 ITERS = 4       # timed regions (median)
 
 
