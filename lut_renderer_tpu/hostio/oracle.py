@@ -245,6 +245,167 @@ class Lut3DOracle:
             pass
 
 
+class ScaleOracle:
+    """FFmpeg `scale` (swscale) oracle: buffer -> scale=W:H:flags=... ->
+    buffersink on a single gray plane.
+
+    The reference's `-s WxH` runs swscale's default SWS_BICUBIC scaler
+    (src/lut_renderer/ffmpeg.py:312-313); this drives that exact C code for
+    parity tests of ops.resample (grayf32le keeps quantization out of the
+    comparison). Separable, so gray-plane parity covers the RGB case.
+    """
+
+    def __init__(self, in_w: int, in_h: int, out_w: int, out_h: int,
+                 flags: str = "bicubic", pix_fmt: str = "grayf32le"):
+        self.ffi = ffi = get_ffi()
+        af = ffi.avfilter
+        af.avfilter_graph_alloc.restype = c_void_p
+        af.avfilter_get_by_name.restype = c_void_p
+        af.avfilter_get_by_name.argtypes = [c_char_p]
+        af.avfilter_graph_create_filter.argtypes = [
+            POINTER(c_void_p), c_void_p, c_char_p, c_char_p, c_void_p, c_void_p,
+        ]
+        af.avfilter_graph_create_filter.restype = c_int
+        af.avfilter_link.argtypes = [c_void_p, c_int, c_void_p, c_int]
+        af.avfilter_link.restype = c_int
+        af.avfilter_graph_config.argtypes = [c_void_p, c_void_p]
+        af.avfilter_graph_config.restype = c_int
+        af.av_buffersrc_add_frame_flags.argtypes = [c_void_p, c_void_p, c_int]
+        af.av_buffersrc_add_frame_flags.restype = c_int
+        af.av_buffersink_get_frame.argtypes = [c_void_p, c_void_p]
+        af.av_buffersink_get_frame.restype = c_int
+        af.avfilter_graph_free.argtypes = [POINTER(c_void_p)]
+
+        self.in_w, self.in_h = in_w, in_h
+        self.out_w, self.out_h = out_w, out_h
+        self.fmt_id = ffi.pix_fmt_id(pix_fmt)
+        if self.fmt_id < 0:
+            raise MediaError(f"unknown pix_fmt {pix_fmt}")
+
+        self._graph = c_void_p(af.avfilter_graph_alloc())
+        if not self._graph.value:
+            raise MediaError("avfilter_graph_alloc failed")
+        try:
+            buf = af.avfilter_get_by_name(b"buffer")
+            sink = af.avfilter_get_by_name(b"buffersink")
+            scale = af.avfilter_get_by_name(b"scale")
+            if not (buf and sink and scale):
+                raise MediaError("buffer/buffersink/scale filters missing")
+            self._src = c_void_p(0)
+            args = (
+                f"video_size={in_w}x{in_h}:pix_fmt={self.fmt_id}:"
+                f"time_base=1/25:pixel_aspect=1/1"
+            ).encode()
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._src), c_void_p(buf), b"in", args, None,
+                    self._graph),
+                "create buffer source",
+            )
+            self._scale = c_void_p(0)
+            sargs = f"w={out_w}:h={out_h}:flags={flags}".encode()
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._scale), c_void_p(scale), b"sc", sargs, None,
+                    self._graph),
+                "create scale",
+            )
+            self._sink = c_void_p(0)
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._sink), c_void_p(sink), b"out", None, None,
+                    self._graph),
+                "create buffersink",
+            )
+            ffi.check(af.avfilter_link(self._src, 0, self._scale, 0),
+                      "link src->scale")
+            ffi.check(af.avfilter_link(self._scale, 0, self._sink, 0),
+                      "link scale->sink")
+            ffi.check(af.avfilter_graph_config(self._graph, None),
+                      "graph_config")
+
+            self._frm = ffi.avutil.av_frame_alloc()
+            _w_i32(self._frm, OFF["frame_width"], in_w)
+            _w_i32(self._frm, OFF["frame_height"], in_h)
+            _w_i32(self._frm, OFF["frame_format"], self.fmt_id)
+            ffi.check(
+                ffi.avutil.av_frame_get_buffer(c_void_p(self._frm), 0),
+                "frame_get_buffer",
+            )
+            self._out = ffi.avutil.av_frame_alloc()
+            self._pts = 0
+        except Exception:
+            af.avfilter_graph_free(byref(self._graph))
+            raise
+
+    def scale_gray(self, plane: np.ndarray) -> np.ndarray:
+        """(in_h, in_w) float32 -> (out_h, out_w) float32 via swscale."""
+        ffi = self.ffi
+        h, w = plane.shape
+        assert (h, w) == (self.in_h, self.in_w)
+        arr = np.ascontiguousarray(plane, np.float32)
+        ffi.check(
+            ffi.avutil.av_frame_make_writable(c_void_p(self._frm)),
+            "frame_make_writable",
+        )
+        data = _r_ptr(self._frm, OFF["frame_data"])
+        ls = _r_i32(self._frm, OFF["frame_linesize"])
+        row = w * 4
+        if ls == row:
+            memmove(data, arr.ctypes.data, row * h)
+        else:
+            for r_ in range(h):
+                memmove(data + r_ * ls, arr.ctypes.data + r_ * row, row)
+        _w_i64(self._frm, OFF["frame_pts"], self._pts)
+        self._pts += 1
+        ffi.check(
+            ffi.avfilter.av_buffersrc_add_frame_flags(
+                self._src, c_void_p(self._frm), 8),
+            "buffersrc_add_frame",
+        )
+        r = ffi.avfilter.av_buffersink_get_frame(self._sink, c_void_p(self._out))
+        if r == AVERROR_EAGAIN:
+            raise MediaError("scale produced no frame")
+        ffi.check(r, "buffersink_get_frame")
+        try:
+            out = np.empty((self.out_h, self.out_w), np.float32)
+            data = _r_ptr(self._out, OFF["frame_data"])
+            ls = _r_i32(self._out, OFF["frame_linesize"])
+            row = self.out_w * 4
+            if ls == row:
+                memmove(out.ctypes.data, data, row * self.out_h)
+            else:
+                for r_ in range(self.out_h):
+                    memmove(out.ctypes.data + r_ * row, data + r_ * ls, row)
+            return out
+        finally:
+            ffi.avutil.av_frame_unref(c_void_p(self._out))
+
+    def close(self):
+        if getattr(self, "_graph", None) and self._graph.value:
+            if getattr(self, "_frm", None):
+                p = c_void_p(self._frm)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._frm = None
+            if getattr(self, "_out", None):
+                p = c_void_p(self._out)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._out = None
+            self.ffi.avfilter.avfilter_graph_free(byref(self._graph))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def measure_cpu_lut3d_fps(
     cube_path,
     interp: str = "tetrahedral",

@@ -30,6 +30,9 @@ _LAZY = {
     "RenderConfig": ".render",
     "render_yuv_frame": ".render",
     "make_render_fn": ".render",
+    "swscale_bicubic_weights": ".resample",
+    "resample_weights": ".resample",
+    "resample_plane": ".resample",
 }
 
 __all__ = list(_LAZY)

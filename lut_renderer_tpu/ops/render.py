@@ -31,6 +31,7 @@ from .pixel import (
     rgb_to_yuv_planes_tpu,
 )
 from .prepare import PreparedLut
+from .resample import resample_plane, resample_weights
 
 
 @dataclass(frozen=True)
@@ -67,8 +68,9 @@ class RenderConfig:
     # intermediate `format=yuv420p` step (ffmpeg.py:233); parity knob.
     requantize_intermediate: bool = True
     # Output resolution (w, h) when the policy carries `-s WxH`
-    # (ffmpeg.py:312-313); None keeps source size. Bilinear resize on the RGB
-    # planes after the LUT.
+    # (ffmpeg.py:312-313); None keeps source size. swscale-matched bicubic
+    # (SWS_BICUBIC B=0 C=0.6 — FFmpeg's `-s` default scaler) on the RGB
+    # planes after the LUT, applied as MXU matmuls (ops.resample).
     resize: Optional[Tuple[int, int]] = None
     # 420->420 pixel layout. "auto" uses the ROW-PHASE half-height layout
     # whenever applicable (bit-identical output, ~3.5% faster fused frame at
@@ -183,11 +185,14 @@ def render_yuv_frame(
     cfg: RenderConfig,
     interpret: bool = False,
     lut_operands=None,
+    resize_weights=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frame through the fused pipeline. Inputs are integer code-value
     planes (uint8/uint16) at cfg.in_depth with cfg.in_subsampling chroma.
     lut_operands: optional table-operand dict (lut3d.kernel_operands) so the
-    jitted program stays LUT-agnostic — see make_render_fn."""
+    jitted program stays LUT-agnostic — see make_render_fn.
+    resize_weights: optional (Wv, Wh) pair for cfg.resize passed as jit
+    arguments (make_render_fn); when None they trace as constants."""
     if _rowphase_applicable(y, u, cfg):
         return _render_rowphase_420(y, u, v, prep, cfg, interpret,
                                     lut_operands)
@@ -222,13 +227,16 @@ def render_yuv_frame(
             operands=lut_operands,
         )
 
-    # 4b. optional resolution change (policy `-s`), bilinear in RGB
+    # 4b. optional resolution change (policy `-s`): swscale-matched bicubic
+    # as two MXU matmuls per plane (ops.resample; parity-tested against the
+    # bundled libswscale in tests/test_resample.py)
     if cfg.resize is not None:
         rw, rh = cfg.resize
-        tgt = r.shape[:-2] + (rh, rw)
-        r = jax.image.resize(r, tgt, method="linear")
-        g = jax.image.resize(g, tgt, method="linear")
-        b = jax.image.resize(b, tgt, method="linear")
+        wv, wh = (resize_weights if resize_weights is not None
+                  else resample_weights(r.shape[-2:], (rh, rw)))
+        r = resample_plane(r, wv, wh)
+        g = resample_plane(g, wv, wh)
+        b = resample_plane(b, wv, wh)
 
     # 5. RGB -> YUV at output depth/range/matrix
     yo, uo, vo = rgb_to_yuv_planes_tpu(
@@ -316,7 +324,7 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
     jitted function itself is cached across LUTs (prep_static_key)."""
     del batched  # retained for API compatibility; shape-polymorphic anyway
     ops_np = lut_operands_for(prep, cfg)
-    if ops_np is None:
+    if ops_np is None and cfg.resize is None:
         fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
                                interpret=interpret)
         return jax.jit(lambda y, u, v: fn(y, u, v))
@@ -325,9 +333,28 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
     if jitted is None:
         fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
                                interpret=interpret)
-        jitted = jax.jit(lambda y, u, v, ops: fn(y, u, v, lut_operands=ops))
+        jitted = jax.jit(
+            lambda y, u, v, ops, rsw: fn(y, u, v, lut_operands=ops,
+                                         resize_weights=rsw))
         while len(_RENDER_FN_CACHE) >= _RENDER_FN_CACHE_MAX:
             _RENDER_FN_CACHE.pop(next(iter(_RENDER_FN_CACHE)))
         _RENDER_FN_CACHE[key] = jitted
-    ops_dev = jax.device_put(ops_np)
-    return lambda y, u, v: jitted(y, u, v, ops_dev)
+    ops_dev = None if ops_np is None else jax.device_put(ops_np)
+    if cfg.resize is None:
+        return lambda y, u, v: jitted(y, u, v, ops_dev, None)
+
+    # Resize weight matrices depend on the INPUT luma shape (known only at
+    # call time); ride as jit args — device_put once per shape — so resize
+    # programs stay free of multi-MB weight constants (118 MB at 8K).
+    rsw_cache: dict = {}
+
+    def call(y, u, v):
+        hw = (int(y.shape[-2]), int(y.shape[-1]))
+        rsw = rsw_cache.get(hw)
+        if rsw is None:
+            rw, rh = cfg.resize
+            rsw = jax.device_put(resample_weights(hw, (rh, rw)))
+            rsw_cache[hw] = rsw
+        return jitted(y, u, v, ops_dev, rsw)
+
+    return call
