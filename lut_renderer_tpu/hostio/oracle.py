@@ -245,6 +245,196 @@ class Lut3DOracle:
             pass
 
 
+class ChainOracle:
+    """FFmpeg filter-CHAIN oracle: the reference's complete video pipeline
+    (src/lut_renderer/ffmpeg.py:195-247,304-310 — scale range/matrix ->
+    format -> lut3d -> format) run through the bundled libavfilter on planar
+    YUV frames, yuv in -> yuv out.
+
+    This is the end-to-end twin of Lut3DOracle (which isolates the kernel on
+    RGB planes): it exercises everything the reference delegates to FFmpeg —
+    chroma up/down-sampling siting, the fixed-point YUV<->RGB conversions,
+    range normalization, and quantization placement — so the fused TPU
+    render can be parity-checked against the full reference behavior, not
+    just the LUT core (tests/test_chain_parity.py).
+
+    `filters` is an ordered list of (name, args) pairs linked between a
+    buffer source and buffersink; libavfilter auto-inserts the same format
+    negotiation conversions the ffmpeg CLI would.
+    """
+
+    def __init__(self, width: int, height: int, filters, pix_fmt: str = "yuv420p"):
+        self.ffi = ffi = get_ffi()
+        af = ffi.avfilter
+        af.avfilter_graph_alloc.restype = c_void_p
+        af.avfilter_get_by_name.restype = c_void_p
+        af.avfilter_get_by_name.argtypes = [c_char_p]
+        af.avfilter_graph_create_filter.argtypes = [
+            POINTER(c_void_p), c_void_p, c_char_p, c_char_p, c_void_p, c_void_p,
+        ]
+        af.avfilter_graph_create_filter.restype = c_int
+        af.avfilter_link.argtypes = [c_void_p, c_int, c_void_p, c_int]
+        af.avfilter_link.restype = c_int
+        af.avfilter_graph_config.argtypes = [c_void_p, c_void_p]
+        af.avfilter_graph_config.restype = c_int
+        af.av_buffersrc_add_frame_flags.argtypes = [c_void_p, c_void_p, c_int]
+        af.av_buffersrc_add_frame_flags.restype = c_int
+        af.av_buffersink_get_frame.argtypes = [c_void_p, c_void_p]
+        af.av_buffersink_get_frame.restype = c_int
+        af.avfilter_graph_free.argtypes = [POINTER(c_void_p)]
+
+        self.width, self.height = width, height
+        self.pix_fmt = pix_fmt
+        self.fmt_id = ffi.pix_fmt_id(pix_fmt)
+        if self.fmt_id < 0:
+            raise MediaError(f"unknown pix_fmt {pix_fmt}")
+
+        self._graph = c_void_p(af.avfilter_graph_alloc())
+        if not self._graph.value:
+            raise MediaError("avfilter_graph_alloc failed")
+        try:
+            buf = af.avfilter_get_by_name(b"buffer")
+            sink = af.avfilter_get_by_name(b"buffersink")
+            if not (buf and sink):
+                raise MediaError("buffer/buffersink filters missing")
+            self._src = c_void_p(0)
+            args = (
+                f"video_size={width}x{height}:pix_fmt={self.fmt_id}:"
+                f"time_base=1/25:pixel_aspect=1/1"
+            ).encode()
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._src), c_void_p(buf), b"in", args, None,
+                    self._graph),
+                "create buffer source",
+            )
+            prev = self._src
+            for idx, (name, fargs) in enumerate(filters):
+                fptr = af.avfilter_get_by_name(name.encode())
+                if not fptr:
+                    raise MediaError(f"filter {name!r} missing")
+                ctx = c_void_p(0)
+                ffi.check(
+                    af.avfilter_graph_create_filter(
+                        byref(ctx), c_void_p(fptr), f"f{idx}".encode(),
+                        fargs.encode() if fargs else None, None, self._graph),
+                    f"create {name}",
+                )
+                ffi.check(af.avfilter_link(prev, 0, ctx, 0), f"link->{name}")
+                prev = ctx
+            self._sink = c_void_p(0)
+            ffi.check(
+                af.avfilter_graph_create_filter(
+                    byref(self._sink), c_void_p(sink), b"out", None, None,
+                    self._graph),
+                "create buffersink",
+            )
+            ffi.check(af.avfilter_link(prev, 0, self._sink, 0), "link->sink")
+            ffi.check(af.avfilter_graph_config(self._graph, None),
+                      "graph_config")
+
+            self._frm = ffi.avutil.av_frame_alloc()
+            _w_i32(self._frm, OFF["frame_width"], width)
+            _w_i32(self._frm, OFF["frame_height"], height)
+            _w_i32(self._frm, OFF["frame_format"], self.fmt_id)
+            ffi.check(
+                ffi.avutil.av_frame_get_buffer(c_void_p(self._frm), 0),
+                "frame_get_buffer",
+            )
+            self._out = ffi.avutil.av_frame_alloc()
+            self._pts = 0
+        except Exception:
+            af.avfilter_graph_free(byref(self._graph))
+            raise
+
+    @staticmethod
+    def _plane_dims(pix_fmt: str, w: int, h: int, idx: int):
+        if idx == 0:
+            return h, w
+        if pix_fmt.startswith("yuv420"):
+            return h // 2, w // 2
+        if pix_fmt.startswith("yuv422"):
+            return h, w // 2
+        return h, w  # 444
+
+    def apply_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """uint8 (or uint16 for 10-bit fmts) planar YUV in -> planar YUV out
+        (tuple of arrays; output geometry follows the sink's negotiated
+        format, asserted to equal the input pix_fmt family)."""
+        ffi = self.ffi
+        itemsize = y.dtype.itemsize
+        planes = (np.ascontiguousarray(y), np.ascontiguousarray(u),
+                  np.ascontiguousarray(v))
+        ffi.check(
+            ffi.avutil.av_frame_make_writable(c_void_p(self._frm)),
+            "frame_make_writable",
+        )
+        for i, arr in enumerate(planes):
+            data = _r_ptr(self._frm, OFF["frame_data"] + 8 * i)
+            ls = _r_i32(self._frm, OFF["frame_linesize"] + 4 * i)
+            ph, pw = arr.shape
+            row = pw * itemsize
+            if ls == row:
+                memmove(data, arr.ctypes.data, row * ph)
+            else:
+                for r_ in range(ph):
+                    memmove(data + r_ * ls, arr.ctypes.data + r_ * row, row)
+        _w_i64(self._frm, OFF["frame_pts"], self._pts)
+        self._pts += 1
+        ffi.check(
+            ffi.avfilter.av_buffersrc_add_frame_flags(
+                self._src, c_void_p(self._frm), 8),
+            "buffersrc_add_frame",
+        )
+        r = ffi.avfilter.av_buffersink_get_frame(self._sink, c_void_p(self._out))
+        if r == AVERROR_EAGAIN:
+            raise MediaError("chain produced no frame")
+        ffi.check(r, "buffersink_get_frame")
+        try:
+            ow = _r_i32(self._out, OFF["frame_width"])
+            oh = _r_i32(self._out, OFF["frame_height"])
+            outs = []
+            for i in range(3):
+                ph, pw = self._plane_dims(self.pix_fmt, ow, oh, i)
+                arr = np.empty((ph, pw), planes[i].dtype)
+                data = _r_ptr(self._out, OFF["frame_data"] + 8 * i)
+                ls = _r_i32(self._out, OFF["frame_linesize"] + 4 * i)
+                row = pw * itemsize
+                if ls == row:
+                    memmove(arr.ctypes.data, data, row * ph)
+                else:
+                    for r_ in range(ph):
+                        memmove(arr.ctypes.data + r_ * row, data + r_ * ls, row)
+                outs.append(arr)
+            return tuple(outs)
+        finally:
+            ffi.avutil.av_frame_unref(c_void_p(self._out))
+
+    def close(self):
+        if getattr(self, "_graph", None) and self._graph.value:
+            if getattr(self, "_frm", None):
+                p = c_void_p(self._frm)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._frm = None
+            if getattr(self, "_out", None):
+                p = c_void_p(self._out)
+                self.ffi.avutil.av_frame_free(byref(p))
+                self._out = None
+            self.ffi.avfilter.avfilter_graph_free(byref(self._graph))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class ScaleOracle:
     """FFmpeg `scale` (swscale) oracle: buffer -> scale=W:H:flags=... ->
     buffersink on a single gray plane.
