@@ -160,3 +160,31 @@ def test_full_chain_fullrange_normalization(lut_path):
                        in_full_range=True, work_full_range=False,
                        requantize_intermediate=True)
     _assert_close(ffm, _ours(y, u, v, prep, cfg), max_y=3, max_c=2, mean_y=1.8)
+
+
+def test_full_chain_10bit(lut_path):
+    """10-bit end to end: yuv420p10le through the tagged chain vs our
+    in_depth=out_depth=10 render. FFmpeg negotiates a >=10-bit RGB
+    intermediate here, so agreement is tighter relative to scale."""
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    y = 64 + 800 * (0.5 + 0.4 * np.sin(xx / W * 5) * np.cos(yy / H * 4))
+    u = 512 + 360 * np.sin(xx / W * 3)[0:H:2, 0:W:2]
+    v = 512 + 360 * np.cos(yy / H * 2)[0:H:2, 0:W:2]
+    y = np.clip(y + rng.normal(0, 2, y.shape), 0, 1023).astype(np.uint16)
+    u = np.clip(u, 0, 1023).astype(np.uint16)
+    v = np.clip(v, 0, 1023).astype(np.uint16)
+    prep = prepare_lut(parse_cube_file(lut_path))
+    filters = [
+        ("scale", "in_color_matrix=bt709:out_color_matrix=bt709"),
+        ("lut3d", f"file='{_escape(lut_path)}':interp=tetrahedral"),
+        ("format", "pix_fmts=yuv420p10le"),
+    ]
+    with ChainOracle(W, H, filters, pix_fmt="yuv420p10le") as orc:
+        ffm = orc.apply_yuv(y, u, v)
+    cfg = RenderConfig(interp="tetrahedral", lut_strategy="gather",
+                       lut_precision="exact", phase_layout="plain",
+                       in_depth=10, out_depth=10)
+    ours = _ours(y, u, v, prep, cfg)
+    # 10-bit units: FFmpeg's >=10-bit RGB intermediate keeps |d| small
+    _assert_close(ffm, ours, max_y=6, max_c=4, mean_y=2.0)
