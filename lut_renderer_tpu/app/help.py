@@ -28,9 +28,11 @@ TOPICS: Dict[str, str] = {
 --codec NAME | copy
   Video encoder for the (final) encode stage. Bundled encoders here:
   prores_ks (the pro-master codec), prores, prores_aw, mpeg4, libvpx-vp9,
-  ffv1, mjpeg, png. libx264/libx265 are NOT in the bundled libraries; like
-  the reference, no preflight hides that — the task fails with a clear
-  error if you request one.
+  libvpx (VP8), dnxhd (DNxHR profiles; no profile -> dnxhr_hq, 10-bit ->
+  dnxhr_hqx automatically), cfhd (CineForm, 10-bit), v210 (uncompressed
+  10-bit 4:2:2), mpeg2video, utvideo, ffv1, mjpeg, png. libx264/libx265
+  are NOT in the bundled libraries; like the reference, no preflight
+  hides that — the task fails with a clear error if you request one.
   copy: stream-copies video. A LUT cannot be applied to a copied stream;
   task creation auto-switches to an encoding codec (the reference's
   copy-codec guard) or `plan` raises if forced.""",
@@ -38,7 +40,8 @@ TOPICS: Dict[str, str] = {
 --pix-fmt FMT (blank = policy decides)
   Output pixel format. The bit-depth policy fills this when blank:
   preserve/auto + 10-bit source + 10-bit-capable codec -> yuv422p10le for
-  prores_ks, yuv420p10le otherwise; force_8bit -> yuv420p. If the chosen
+  prores_ks/cfhd/v210/dnxhd, yuv420p10le otherwise; force_8bit ->
+  yuv420p. If the chosen
   encoder cannot take the format, the engine negotiates the closest
   supported one and logs the change.""",
     "bit_depth": """\
@@ -237,9 +240,13 @@ kernel precision (automatic)
   pipeline. random: stateless position-hash stochastic rounding (no tile
   structure, bit-reproducible across runs).""",
     "audio": """\
---audio-codec copy|aac|none  --audio-bitrate N
-  copy (default): remux the source audio stream untouched. aac: transcode
-  through the bundled encoder. Blank sample-rate/channels inherit.""",
+--audio-codec copy|aac|flac|alac|ac3|eac3|mp2|opus|vorbis|none
+  copy (default): remux the source audio stream untouched. Any other name
+  transcodes through the bundled encoder with automatic sample-format
+  negotiation (e.g. alac takes s16/s32 planar; ac3/opus/vorbis take
+  fltp). mp3 is offered by the reference UI but absent from the bundled
+  libraries — the plan notes the copy fallback up front. --audio-bitrate
+  sets the target rate; blank sample-rate/channels inherit.""",
     "concurrency": """\
 --concurrency N (1-16)
   Parallel tasks. Each task runs its own decode/render/encode pipeline;

@@ -37,6 +37,37 @@ from .ffi import (
 )
 
 
+def _encoder_sample_fmt(ffi, enc, decoded_fmt_name: str) -> str:
+    """The ffmpeg CLI's automatic sample-format negotiation: keep the decoded
+    format when the encoder supports it, else take the encoder's preferred
+    (first) format — e.g. aac -> fltp, alac -> s32p from s16, ac3 -> fltp.
+
+    Uses avcodec_get_supported_config with AV_CODEC_CONFIG_SAMPLE_FORMAT (3),
+    the lavc 62 API also used for pixel formats in encode.encoder_pix_fmts.
+    """
+    import ctypes as ct
+
+    fn = ffi.avcodec.avcodec_get_supported_config
+    fn.argtypes = [c_void_p, c_void_p, ct.c_int, ct.c_uint,
+                   ct.POINTER(c_void_p), ct.POINTER(ct.c_int)]
+    fn.restype = ct.c_int
+    out = c_void_p(0)
+    count = ct.c_int(0)
+    if fn(None, enc, 3, 0, byref(out), byref(count)) < 0 or not out.value:
+        return decoded_fmt_name
+    arr = ct.cast(out.value, ct.POINTER(ct.c_int))
+    ffi.avutil.av_get_sample_fmt_name.argtypes = [ct.c_int]
+    ffi.avutil.av_get_sample_fmt_name.restype = ct.c_char_p
+    names = []
+    for i in range(count.value):
+        nm = ffi.avutil.av_get_sample_fmt_name(arr[i])
+        if nm:
+            names.append(nm.decode())
+    if decoded_fmt_name in names or not names:
+        return decoded_fmt_name
+    return names[0]
+
+
 def transcode_audio_packets(
     source: Path,
     codec: str = "aac",
@@ -148,13 +179,19 @@ def transcode_audio_packets(
             enc = ac.avcodec_find_encoder_by_name(codec.encode())
             ok = bool(enc)
             enc_ctx = ac.avcodec_alloc_context3(c_void_p(enc)) if ok else 0
-            target_fmt = "fltp" if codec == "aac" else fmt_name
+            target_fmt = (
+                _encoder_sample_fmt(ffi, c_void_p(enc), fmt_name) if ok
+                else fmt_name
+            )
             if ok:
                 ffi.opt_set(enc_ctx, "ar", str(sample_rate))
                 ffi.opt_set(enc_ctx, "ch_layout", layout)
                 if bitrate_bits:
                     ffi.opt_set(enc_ctx, "b", str(bitrate_bits))
                 ffi.opt_set(enc_ctx, "time_base", f"1/{sample_rate}")
+                # the `-strict -2` gate: lets FFmpeg-"experimental" encoders
+                # (native opus/vorbis) open; solid codecs are unaffected
+                ffi.opt_set(enc_ctx, "strict", "experimental")
                 # sample_fmt has no AVOption; offset 348 verified at runtime
                 # (lavc 62: aac opens with fltp and reports frame_size 1024)
                 from .ffi import _w_i32 as _w32

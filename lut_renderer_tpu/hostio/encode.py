@@ -107,8 +107,14 @@ def pick_encoder_pix_fmt(codec_name: str, depth: int, subsampling: str) -> Optio
 def list_encoders(candidates=None) -> List[str]:
     ffi = get_ffi(verify=False)
     names = candidates or [
+        # video (the reference's menu, main_window.py:748-760, plus bundled
+        # pro-mastering codecs verified end-to-end in tests/test_encoders_ext)
         "prores_ks", "prores", "prores_aw", "libx264", "libx265", "mpeg4",
-        "libvpx-vp9", "ffv1", "mjpeg", "png", "aac", "pcm_s16le",
+        "libvpx-vp9", "libvpx", "dnxhd", "cfhd", "v210", "mpeg2video",
+        "utvideo", "ffv1", "mjpeg", "png",
+        # audio (reference offers aac/mp3/copy; the bundled libs add these)
+        "aac", "flac", "alac", "ac3", "eac3", "mp2", "opus", "vorbis",
+        "mp3", "pcm_s16le",
     ]
     return [n for n in names if ffi.avcodec.avcodec_find_encoder_by_name(n.encode())]
 

@@ -46,7 +46,23 @@ VALID_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism", "cubi
 # rejects at runtime; here it degrades to tetrahedral with a note.
 KERNEL_INTERP = {"nearest", "trilinear", "tetrahedral", "pyramid", "prism"}
 
-TEN_BIT_CODECS = {"prores_ks", "libx265", "hevc_videotoolbox"}
+TEN_BIT_CODECS = {
+    "prores_ks", "libx265", "hevc_videotoolbox",
+    # bundled pro-mastering codecs beyond the reference's menu (verified
+    # end-to-end in tests/test_encoders_ext): CineForm, 10-bit uncompressed,
+    # DNxHR (HQX profile)
+    "cfhd", "v210", "dnxhd",
+}
+
+# Preferred 10-bit output format per codec under bit_depth_policy=preserve.
+# prores 422p10le vs generic 420p10le mirrors the reference
+# (ffmpeg.py:287-302); cfhd/v210/dnxhd are 4:2:2-native encoders.
+_TEN_BIT_FMT = {
+    "prores_ks": "yuv422p10le",
+    "cfhd": "yuv422p10le",
+    "v210": "yuv422p10le",
+    "dnxhd": "yuv422p10le",
+}
 
 _MATRIX_WHITELIST = {"bt709", "smpte170m", "bt470bg", "bt2020nc", "bt2020c"}
 
@@ -336,6 +352,31 @@ def build_render_spec(
                         "(avoiding timestamp rewrite)"
                     )
 
+        profile = params.profile or None
+        if (
+            params.video_codec == "dnxhd"
+            and source_info
+            and source_info.width
+            and source_info.height
+            and not params.resolution
+            and (source_info.width < 256 or source_info.height < 120)
+        ):
+            notes.append(
+                f"Warning: DNxHD/DNxHR requires at least 256x120 input; "
+                f"source is {source_info.width}x{source_info.height} — the "
+                f"encode stage will fail unless --resolution upscales it"
+            )
+        if params.video_codec == "dnxhd" and not profile:
+            # Classic DNxHD profiles demand exact resolution/rate/bitrate
+            # tables (the ffmpeg CLI errors on a mismatch); DNxHR is
+            # resolution-independent. Default to DNxHR HQ.
+            profile = "dnxhr_hq"
+            notes.append(
+                "DNxHD without a profile: defaulting to dnxhr_hq "
+                "(resolution-independent; classic DNxHD needs exact "
+                "resolution/bitrate pairs)"
+            )
+
         pix_fmt = params.pix_fmt
         if params.bit_depth_policy == "force_8bit":
             if pix_fmt != "yuv420p":
@@ -344,16 +385,30 @@ def build_render_spec(
         elif params.bit_depth_policy in {"preserve", "auto"} and not pix_fmt:
             if source_info and source_info.bit_depth and source_info.bit_depth >= 10:
                 if supports_10bit(params.video_codec):
-                    pix_fmt = (
-                        "yuv422p10le" if params.video_codec == "prores_ks" else "yuv420p10le"
-                    )
+                    pix_fmt = _TEN_BIT_FMT.get(params.video_codec, "yuv420p10le")
                     notes.append(f"Bit-depth policy=preserve 10-bit: pix_fmt={pix_fmt}")
+                    if params.video_codec == "dnxhd" and profile not in (
+                        "dnxhr_hqx", "dnxhr_444"
+                    ):
+                        # DNxHR 10-bit lives in the HQX/444 profiles only
+                        profile = "dnxhr_hqx"
+                        notes.append(
+                            "DNxHR 10-bit requires the HQX profile: "
+                            "profile=dnxhr_hqx"
+                        )
                 else:
                     pix_fmt = "yuv420p"
                     notes.append(
                         "Bit-depth policy=preserve 10-bit: encoder lacks 10-bit, "
                         "falling back to yuv420p"
                     )
+        if params.video_codec == "dnxhd" and not pix_fmt:
+            # profile drives the bit depth here; negotiation by encoder
+            # format list alone cannot see the profile
+            pix_fmt = {
+                "dnxhr_hqx": "yuv422p10le", "dnxhr_444": "yuv444p10le",
+            }.get(profile or "", "yuv422p")
+            notes.append(f"DNxHR profile {profile}: pix_fmt={pix_fmt}")
 
         if pix_fmt:
             requested_dither = params.zscale_dither or "none"
@@ -427,7 +482,7 @@ def build_render_spec(
             spec.gop = max(1, round(fps_value))
             notes.append(f"Auto GOP={spec.gop} (fps={format_fps(fps_value)})")
 
-        spec.profile = params.profile or None
+        spec.profile = profile
         spec.level = params.level or None
         spec.threads = params.threads or None
 
@@ -463,9 +518,10 @@ def build_render_spec(
         spec.sample_rate = params.sample_rate or None
         spec.channels = params.channels or None
         # The reference offers aac/mp3/copy (main_window.py:763) with no
-        # availability preflight; the bundled libs ship aac but not mp3.
-        # Degradation-notes honesty: name the copy fallback up front
-        # instead of failing silently at encode time.
+        # availability preflight; the bundled libs ship aac/flac/alac/ac3/
+        # eac3/mp2/opus/vorbis/pcm but not mp3. Degradation-notes honesty:
+        # name the copy fallback up front instead of failing silently at
+        # encode time.
         try:
             from ..hostio.encode import encoder_available
 
@@ -473,7 +529,8 @@ def build_render_spec(
                 notes.append(
                     f"Audio codec '{params.audio_codec}' is not in the "
                     f"bundled libraries; the audio stream will be COPIED "
-                    f"instead (bundled audio encoders: aac, pcm)"
+                    f"instead (bundled audio encoders: aac, flac, alac, "
+                    f"ac3, eac3, mp2, opus, vorbis, pcm)"
                 )
         except Exception:
             pass
