@@ -246,7 +246,9 @@ kernel precision (automatic)
   negotiation (e.g. alac takes s16/s32 planar; ac3/opus/vorbis take
   fltp). mp3 is offered by the reference UI but absent from the bundled
   libraries — the plan notes the copy fallback up front. --audio-bitrate
-  sets the target rate; blank sample-rate/channels inherit.""",
+  sets the target rate. --sample-rate / --channels resample/remix like
+  the reference's -ar/-ac (a rate the encoder can't take snaps to its
+  nearest supported one, e.g. opus 44100 -> 48000); blank inherits.""",
     "concurrency": """\
 --concurrency N (1-16)
   Parallel tasks. Each task runs its own decode/render/encode pipeline;

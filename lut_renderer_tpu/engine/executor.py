@@ -157,10 +157,19 @@ def run_stage(
             else None
         )
         audio_mode = spec.audio_codec or "copy"
+
+        def _as_int(v):
+            try:
+                return int(float(v)) if v else None
+            except (TypeError, ValueError):
+                return None
+
         try:
             enc = VideoEncoder(spec.output, enc_settings, audio_from=audio_from,
                                audio_mode=audio_mode,
-                               audio_bitrate=spec.audio_bitrate)
+                               audio_bitrate=spec.audio_bitrate,
+                               audio_sample_rate=_as_int(spec.sample_rate),
+                               audio_channels=_as_int(spec.channels))
         except Exception as exc:
             dec.close()
             return StageResult(ok=False, error=f"encoder open failed: {exc}")

@@ -68,12 +68,40 @@ def _encoder_sample_fmt(ffi, enc, decoded_fmt_name: str) -> str:
     return names[0]
 
 
+def _encoder_sample_rates(ffi, enc) -> List[int]:
+    """Supported sample rates of an encoder (AV_CODEC_CONFIG_SAMPLE_RATE=2);
+    empty list means unrestricted."""
+    import ctypes as ct
+
+    fn = ffi.avcodec.avcodec_get_supported_config
+    fn.argtypes = [c_void_p, c_void_p, ct.c_int, ct.c_uint,
+                   ct.POINTER(c_void_p), ct.POINTER(ct.c_int)]
+    fn.restype = ct.c_int
+    out = c_void_p(0)
+    count = ct.c_int(0)
+    if fn(None, enc, 2, 0, byref(out), byref(count)) < 0 or not out.value:
+        return []
+    arr = ct.cast(out.value, ct.POINTER(ct.c_int))
+    return [arr[i] for i in range(count.value) if arr[i] > 0]
+
+
+_CHANNEL_LAYOUTS = {1: "mono", 2: "stereo", 6: "5.1", 8: "7.1"}
+
+
 def transcode_audio_packets(
     source: Path,
     codec: str = "aac",
     bitrate_bits: Optional[int] = None,
+    sample_rate: Optional[int] = None,
+    channels: Optional[int] = None,
 ) -> Optional[Tuple[int, List[Tuple[bytes, int, int, int, int]], Tuple[int, int]]]:
     """Decode + re-encode the source's audio stream.
+
+    `sample_rate` / `channels` are the reference's `-ar` / `-ac` overrides
+    (ffmpeg.py:400-408): the filter graph resamples / remixes to the target
+    before encoding. A requested (or source) rate outside the encoder's
+    supported set snaps to the nearest supported rate, like the ffmpeg CLI
+    (e.g. opus: 44100 -> 48000).
 
     Returns (encoder_ctx_for_params, packets, time_base) on success where
     packets are (data, pts, dts, duration, flags) in `time_base` units, or
@@ -110,7 +138,7 @@ def transcode_audio_packets(
                 return None
             if ac.avcodec_open2(c_void_p(dctx), decp, None) < 0:
                 return None
-            sample_rate = ffi.opt_get_int(dctx, "ar") or 48000
+            src_rate = ffi.opt_get_int(dctx, "ar") or 48000
 
             # declare clone once
             ffi.avutil.av_frame_clone.argtypes = [c_void_p]
@@ -183,12 +211,20 @@ def transcode_audio_packets(
                 _encoder_sample_fmt(ffi, c_void_p(enc), fmt_name) if ok
                 else fmt_name
             )
+            out_rate = int(sample_rate) if sample_rate else src_rate
             if ok:
-                ffi.opt_set(enc_ctx, "ar", str(sample_rate))
-                ffi.opt_set(enc_ctx, "ch_layout", layout)
+                rates = _encoder_sample_rates(ffi, c_void_p(enc))
+                if rates and out_rate not in rates:
+                    out_rate = min(rates, key=lambda r: (abs(r - out_rate), -r))
+            out_layout = layout
+            if channels:
+                out_layout = _CHANNEL_LAYOUTS.get(int(channels), layout)
+            if ok:
+                ffi.opt_set(enc_ctx, "ar", str(out_rate))
+                ffi.opt_set(enc_ctx, "ch_layout", out_layout)
                 if bitrate_bits:
                     ffi.opt_set(enc_ctx, "b", str(bitrate_bits))
-                ffi.opt_set(enc_ctx, "time_base", f"1/{sample_rate}")
+                ffi.opt_set(enc_ctx, "time_base", f"1/{out_rate}")
                 # the `-strict -2` gate: lets FFmpeg-"experimental" encoders
                 # (native opus/vorbis) open; solid codecs are unaffected
                 ffi.opt_set(enc_ctx, "strict", "experimental")
@@ -231,8 +267,8 @@ def transcode_audio_packets(
                 fmt_ctx_n = c_void_p(0)
                 setn_ctx = c_void_p(0)
                 args = (
-                    f"sample_rate={sample_rate}:sample_fmt={fmt_name}:"
-                    f"channel_layout={layout}:time_base=1/{sample_rate}"
+                    f"sample_rate={src_rate}:sample_fmt={fmt_name}:"
+                    f"channel_layout={layout}:time_base=1/{src_rate}"
                 ).encode()
                 ok = (
                     af.avfilter_graph_create_filter(
@@ -241,7 +277,8 @@ def transcode_audio_packets(
                     and af.avfilter_graph_create_filter(
                         byref(fmt_ctx_n), c_void_p(af.avfilter_get_by_name(b"aformat")),
                         b"fmt",
-                        f"sample_fmts={target_fmt}:sample_rates={sample_rate}".encode(),
+                        (f"sample_fmts={target_fmt}:sample_rates={out_rate}:"
+                         f"channel_layouts={out_layout}").encode(),
                         None, graph) >= 0
                     and af.avfilter_graph_create_filter(
                         byref(setn_ctx), c_void_p(af.avfilter_get_by_name(b"asetnsamples")),
@@ -331,7 +368,7 @@ def transcode_audio_packets(
                 return None
             result_ctx = enc_ctx
             enc_ctx = 0  # ownership passes to caller
-            return result_ctx, out_pkts, (1, sample_rate)
+            return result_ctx, out_pkts, (1, out_rate)
         finally:
             p = c_void_p(dctx)
             ac.avcodec_free_context(byref(p))

@@ -170,9 +170,13 @@ class VideoEncoder:
     def __init__(self, path, settings: EncoderSettings,
                  audio_from: Optional[Path] = None,
                  audio_mode: str = "copy",
-                 audio_bitrate: Optional[str] = None):
+                 audio_bitrate: Optional[str] = None,
+                 audio_sample_rate: Optional[int] = None,
+                 audio_channels: Optional[int] = None):
         self._audio_mode = audio_mode
         self._audio_bitrate = audio_bitrate
+        self._audio_sample_rate = audio_sample_rate
+        self._audio_channels = audio_channels
         self.path = Path(path)
         self.settings = settings
         self.ffi = get_ffi()
@@ -380,7 +384,9 @@ class VideoEncoder:
 
         try:
             result = transcode_audio_packets(
-                src, self._audio_mode, bitrate_to_bits(self._audio_bitrate)
+                src, self._audio_mode, bitrate_to_bits(self._audio_bitrate),
+                sample_rate=self._audio_sample_rate,
+                channels=self._audio_channels,
             )
         except Exception:
             return None

@@ -535,5 +535,29 @@ def build_render_spec(
         except Exception:
             pass
 
+    # Container/codec compatibility preflight (empirical matrix from the
+    # bundled muxers, tests/test_encoders_ext.py): name the failure before
+    # the encode stage hits write_header.
+    ext = Path(spec.output).suffix.lower() if spec.output else ""
+    blocked_audio = {
+        ".mov": {"flac", "opus"},  # mov muxer: "only supported in MP4"
+        ".webm": {"aac", "flac", "alac", "ac3", "eac3", "mp2", "mp3",
+                  "pcm_s16le"},   # webm allows only Opus/Vorbis audio
+    }.get(ext, set())
+    if (params.audio_codec or "") in blocked_audio:
+        notes.append(
+            f"Warning: the {ext} container cannot carry {params.audio_codec} "
+            f"audio — the mux will fail; use "
+            + (".mp4/.mkv" if ext == ".mov" else "opus or vorbis")
+        )
+    if ext == ".webm" and params.video_codec not in (
+        "", "copy", "libvpx", "libvpx-vp9", "vp8", "vp9", "av1", "libaom-av1"
+    ):
+        notes.append(
+            f"Warning: WebM only carries VP8/VP9/AV1 video — "
+            f"{params.video_codec} will fail at mux time; use libvpx or "
+            f"libvpx-vp9, or a .mkv/.mp4 output"
+        )
+
     spec.faststart = bool(params.faststart)
     return spec

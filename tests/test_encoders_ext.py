@@ -114,6 +114,67 @@ def test_mux_audio_end_to_end(av_clip, tmp_path, codec, ext):
     assert info.audio_sample_rate == 48000
 
 
+@pytest.mark.parametrize(
+    "codec,sr,ch,expect_sr",
+    [
+        ("aac", 44100, None, 44100),     # resample down
+        ("aac", None, 1, 48000),         # remix stereo -> mono
+        ("opus", 44100, None, 48000),    # snaps to the encoder's rate set
+        ("flac", 96000, 2, 96000),       # resample up
+    ],
+)
+def test_audio_sample_rate_channel_overrides(av_clip, codec, sr, ch, expect_sr):
+    """The reference's -ar/-ac overrides (ffmpeg.py:400-408): the filter
+    graph resamples/remixes; rates outside the encoder's supported set snap
+    to the nearest (ffmpeg CLI behavior)."""
+    res = transcode_audio_packets(av_clip, codec, 128000,
+                                  sample_rate=sr, channels=ch)
+    assert res is not None
+    ctx, pkts, tb = res
+    free_audio_ctx(ctx)
+    assert tb == (1, expect_sr)
+    dur = sum(p[3] for p in pkts) / tb[1]
+    assert 0.9 < dur < 1.15
+
+
+def test_mux_ar_ac_end_to_end(av_clip, tmp_path):
+    out = tmp_path / "arac.mp4"
+    st = EncoderSettings(codec="mpeg4", width=128, height=96,
+                         pix_fmt="yuv420p", fps=Fraction(25))
+    y = np.zeros((96, 128), np.uint8)
+    u = np.full((48, 64), 128, np.uint8)
+    with VideoEncoder(out, st, audio_from=Path(av_clip), audio_mode="aac",
+                      audio_bitrate="96k", audio_sample_rate=32000,
+                      audio_channels=1) as enc:
+        for _ in range(5):
+            enc.write(y, u, u)
+    info = probe_video(out)
+    assert info.audio_codec == "aac"
+    assert info.audio_sample_rate == 32000
+    assert info.audio_channels == 1
+
+
+def test_engine_stage_audio_overrides(av_clip, tmp_path):
+    """spec.sample_rate/channels flow policy -> executor -> encoder."""
+    from lut_renderer_tpu.engine import run_stage
+    from lut_renderer_tpu.hostio import probe_video as probe
+
+    info = probe(av_clip)
+    out = tmp_path / "eng_arac.mp4"
+    spec = build_render_spec(
+        Path(av_clip), out,
+        ProcessingParams(video_codec="mpeg4", audio_codec="aac",
+                         audio_bitrate="96k", sample_rate="32000",
+                         channels="1"),
+        None, info,
+    )
+    res = run_stage(spec, info, None)
+    assert res.ok, res.error
+    oinfo = probe(out)
+    assert oinfo.audio_sample_rate == 32000
+    assert oinfo.audio_channels == 1
+
+
 def test_list_encoders_includes_new_set():
     names = set(list_encoders())
     for codec in ("dnxhd", "cfhd", "v210", "mpeg2video", "utvideo",
@@ -189,8 +250,43 @@ def test_policy_audio_note_still_names_missing_codec(tmp_path):
 
 def test_policy_audio_no_note_for_bundled_codec(tmp_path):
     spec = build_render_spec(
-        Path("in.mov"), tmp_path / "o.mov",
+        Path("in.mov"), tmp_path / "o.mkv",
         ProcessingParams(video_codec="mpeg4", audio_codec="flac"),
         None, _info(),
     )
     assert not any("COPIED" in n for n in spec.notes)
+
+
+@pytest.mark.parametrize(
+    "out_name,vcodec,acodec,needle",
+    [
+        ("o.mov", "mpeg4", "flac", "cannot carry flac"),
+        ("o.mov", "mpeg4", "opus", "cannot carry opus"),
+        ("o.webm", "libvpx", "aac", "cannot carry aac"),
+        ("o.webm", "mpeg4", "opus", "WebM only carries VP8/VP9/AV1"),
+    ],
+)
+def test_policy_container_compat_warnings(tmp_path, out_name, vcodec, acodec,
+                                          needle):
+    spec = build_render_spec(
+        Path("in.mov"), tmp_path / out_name,
+        ProcessingParams(video_codec=vcodec, audio_codec=acodec),
+        None, _info(),
+    )
+    assert any(needle in n for n in spec.notes), spec.notes
+
+
+def test_policy_no_compat_warning_for_good_combos(tmp_path):
+    for out_name, vcodec, acodec in [
+        ("o.mov", "mpeg4", "alac"),
+        ("o.mp4", "mpeg4", "flac"),
+        ("o.webm", "libvpx", "opus"),
+        ("o.mkv", "mpeg4", "opus"),
+    ]:
+        spec = build_render_spec(
+            Path("in.mov"), tmp_path / out_name,
+            ProcessingParams(video_codec=vcodec, audio_codec=acodec),
+            None, _info(),
+        )
+        assert not any("Warning: " in n and "carr" in n for n in spec.notes), \
+            (out_name, acodec, spec.notes)
