@@ -387,6 +387,59 @@ def test_differential_corpus(ref, tmp_path):
         _check_case(ref, params_dict, info_kw, lut, tmp_path)
 
 
+def test_probe_derivation_rules_differential(ref):
+    """Probe derivation helpers vs the reference's media_info internals.
+
+    The reference's `probe_video` shells out to an ffprobe binary we don't
+    have, but the pure derivation rules it applies to the raw strings are
+    importable — fuzz them directly (media_info.py:85-110 fraction parse,
+    77-83 color normalize, 86-110 bit-depth inference, 138 VFR rule,
+    161-167 kbps formatting).
+    """
+    from lut_renderer_tpu.models.video_info import (
+        detect_vfr,
+        infer_bit_depth,
+        kbps_string,
+        normalize_color,
+        parse_fraction,
+    )
+
+    ref_media = ref[2]
+    rng = random.Random(42)
+    fractions = ["", "0/0", "30000/1001", "25", "23.976", "x/y", "1/0",
+                 " 24000/1001 ", "60", "abc", "5/2/1", "-30/1", "1e3"]
+    for v in fractions:
+        assert parse_fraction(v) == ref_media._parse_fraction(v), v
+    colors = [None, "", "unknown", "Unspecified", "UNKNOWN/UNKNOWN", "bt709",
+              " bt2020nc ", "reserved", "pc"]
+    for v in colors:
+        assert normalize_color(v) == ref_media._normalize_color(v), v
+    pix_fmts = [None, "", "yuv420p", "yuv420p10le", "yuv422p10le",
+                "yuv444p12le", "yuvj420p", "gbrp16le", "rgb24", "p010le",
+                "yuv420p9", "nv12", "monob", "yuva444p10le", "gray10le"]
+    bits_raw = [None, "", "10", "8.0", "0", "-2", "abc", "12"]
+    for pf in pix_fmts:
+        for br in bits_raw:
+            assert infer_bit_depth(pf, br) == ref_media._infer_bit_depth(pf, br), (
+                pf, br)
+    for _ in range(200):
+        avg = rng.choice([None, 0.0, 23.976, 25.0, 29.97, 59.94,
+                          rng.uniform(1, 120)])
+        r = rng.choice([None, 0.0, 24.0, 25.0, 30.0, rng.uniform(1, 120)])
+        assert detect_vfr(avg, r) == bool(
+            avg and r and abs(avg - r) > ref_media._FPS_EPSILON
+        ), (avg, r)
+    # kbps formatting rule as written inline in probe_video (161-167)
+    for raw in ["", None, "0", "999", "1000", "1499", "1500", "60000000",
+                "abc", "8.5e6", "-5"]:
+        if raw in ("", None, "abc"):
+            expect = None
+        else:
+            bits = int(float(raw))
+            expect = f"{max(1, round(bits / 1000))}k" if bits > 0 else None
+        assert kbps_string(raw) == expect, raw
+
+
 def test_master_params_differential(ref):
     """Pro-mode master params: field-for-field against the reference."""
     _, ref_models, _ = ref
