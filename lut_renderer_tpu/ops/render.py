@@ -72,10 +72,17 @@ class RenderConfig:
     # (SWS_BICUBIC B=0 C=0.6 — FFmpeg's `-s` default scaler) on the RGB
     # planes after the LUT, applied as MXU matmuls (ops.resample).
     resize: Optional[Tuple[int, int]] = None
-    # 420->420 pixel layout. "auto" uses the ROW-PHASE half-height layout
-    # whenever applicable (bit-identical output, ~3.5% faster fused frame at
-    # 4K/8K — experiments/FINDINGS.md "Phase-decomposed 420 pipeline");
-    # "plain" forces the straight full-res layout (tests/measurement).
+    # 420->420 pixel layout. "auto" picks the fastest applicable:
+    #   1. "fused"    — the fully-fused YUV->YUV Pallas kernel (pre/post glue
+    #      in-kernel; 4K fused frame 19.9 -> 16.5 ms, 8K 81.3 -> 66.6 on
+    #      v5e — ops.fused420). Bit-exact vs "plain" under interpret; on the
+    #      chip max |d| = 1 code value at ~1e-5 pixel rate (Mosaic float
+    #      lowering), far inside every tier's dE budget.
+    #   2. "rowphase" — the ROW-PHASE half-height XLA layout (bit-identical
+    #      to plain everywhere — FINDINGS "Phase-decomposed 420 pipeline").
+    #   3. "plain"    — the straight full-res XLA layout.
+    # Each name also forces that layout (for tests/measurement/bit-exact
+    # requirements).
     phase_layout: str = "auto"
 
 
@@ -95,15 +102,31 @@ def _downsample(u, v, subsampling: str):
     return u, v
 
 
+_PHASE_LAYOUTS = ("auto", "plain", "rowphase", "fused")
+
+
+def _fused420_applicable(y, u, cfg: RenderConfig, prep) -> bool:
+    """True when the frame takes the fully-fused YUV->YUV kernel
+    (ops.fused420): the rowphase class, plus an MXU LUT actually in play
+    and a lane-tileable width."""
+    if cfg.phase_layout not in _PHASE_LAYOUTS:
+        raise ValueError(f"unknown phase_layout {cfg.phase_layout!r}")
+    if cfg.phase_layout not in ("auto", "fused"):
+        return False
+    from .fused420 import fused420_applicable
+
+    return fused420_applicable(y, u, cfg, prep)
+
+
 def _rowphase_applicable(y, u, cfg: RenderConfig) -> bool:
     """True when the frame can take the row-phase 420 layout: 420 in and out
     with nearest chroma siting, no resize, and geometry that factors exactly
     (full-res H, W = 2x the chroma plane). Error-diffusion output is float
     full-res planes, so that path stays plain too."""
-    if cfg.phase_layout not in ("auto", "plain"):
+    if cfg.phase_layout not in _PHASE_LAYOUTS:
         raise ValueError(f"unknown phase_layout {cfg.phase_layout!r}")
     return (
-        cfg.phase_layout == "auto"
+        cfg.phase_layout in ("auto", "rowphase")
         and cfg.in_subsampling == "420"
         and cfg.out_subsampling == "420"
         and cfg.chroma_up == "nearest"
@@ -193,6 +216,10 @@ def render_yuv_frame(
     jitted program stays LUT-agnostic — see make_render_fn.
     resize_weights: optional (Wv, Wh) pair for cfg.resize passed as jit
     arguments (make_render_fn); when None they trace as constants."""
+    if _fused420_applicable(y, u, cfg, prep):
+        from .fused420 import render_fused420
+
+        return render_fused420(y, u, v, prep, cfg, interpret, lut_operands)
     if _rowphase_applicable(y, u, cfg):
         return _render_rowphase_420(y, u, v, prep, cfg, interpret,
                                     lut_operands)
