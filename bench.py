@@ -160,6 +160,7 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
 
     out = {}
     rng = np.random.default_rng(2)
+    prep33 = prepare_lut(lut33)
 
     def over_budget(tag):
         if time.perf_counter() > deadline:
@@ -170,12 +171,14 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
     def fused_fps(prep, cfg, h, w, batch, depth):
         hi = (1 << depth) - 1
         dt_in = np.uint16 if depth > 8 else np.uint8
+        hc = h // 2 if cfg.in_subsampling == "420" else h
+        wc = w // 2 if cfg.in_subsampling in ("420", "422") else w
         y = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
                                      (batch, h, w)).astype(dt_in))
         u = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
-                                     (batch, h // 2, w // 2)).astype(dt_in))
+                                     (batch, hc, wc)).astype(dt_in))
         v = jnp.asarray(rng.integers(hi // 16, hi - hi // 16,
-                                     (batch, h // 2, w // 2)).astype(dt_in))
+                                     (batch, hc, wc)).astype(dt_in))
 
         # headline-identical methodology: when the output feeds back (same
         # dtype/geometry), chain steps INSIDE one jit so both the ~30 ms
@@ -229,7 +232,6 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
     try:
         if over_budget("8k"):
             return out
-        prep33 = prepare_lut(lut33)
         cfg = RenderConfig(in_depth=10, out_depth=10, interp="tetrahedral")
         out["fps_8k_10bit_tetra"] = round(
             fused_fps(prep33, cfg, 4320, 7680, 4, 10), 2)
@@ -240,6 +242,41 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
                 fused_fps(prep33, cfg1, 1080, 1920, 8, 8), 2)
     except Exception as exc:  # pragma: no cover
         out["error_8k"] = str(exc)[:160]
+    try:
+        # BASELINE config 3: the two-stage pro-mastering flow (the
+        # reference's flagship mode, ffmpeg.py:417-472). Stage 1: LUT ->
+        # yuv422p10le ProRes master (422p10 ProRes-class source); stage 2:
+        # master -> 420p8 distribution encode with dither. Both ride the
+        # generalized fused YUV->YUV kernel (ops/fused420.py).
+        if over_budget("pro_master"):
+            return out
+        cfg_m = RenderConfig(in_depth=10, out_depth=10, in_subsampling="422",
+                             out_subsampling="422", interp="tetrahedral")
+        fps_m = fused_fps(prep33, cfg_m, H, W, 8, 10)
+        out["fps_4k_pro_master"] = round(fps_m, 2)
+        if not over_budget("pro_stage2"):
+            cfg_d = RenderConfig(in_depth=10, out_depth=8,
+                                 in_subsampling="422", out_subsampling="420",
+                                 interp="tetrahedral", dither="ordered",
+                                 apply_lut=False)
+            fps_d = fused_fps(prep33, cfg_d, H, W, 8, 10)
+            out["fps_4k_pro_stage2"] = round(fps_d, 2)
+            out["fps_4k_pro_combined"] = round(
+                1.0 / (1.0 / fps_m + 1.0 / fps_d), 2)
+    except Exception as exc:  # pragma: no cover
+        out["error_pro"] = str(exc)[:160]
+    try:
+        # BASELINE config 4 pixel class: 1080p yuvj (full-range) source
+        # normalized to tv with the reference's 8-bit requantize step
+        # (the VFR->CFR force and tag inheritance are host-side/zero-cost).
+        if over_budget("config4"):
+            return out
+        cfg4 = RenderConfig(in_full_range=True, work_full_range=False,
+                            out_full_range=False, interp="tetrahedral")
+        out["fps_1080p_fullrange_config4"] = round(
+            fused_fps(prep33, cfg4, 1080, 1920, 16, 8), 2)
+    except Exception as exc:  # pragma: no cover
+        out["error_config4"] = str(exc)[:160]
     return out
 
 
@@ -288,9 +325,10 @@ def main() -> int:
         # extras get their own budget from HERE: the pre-extras phase
         # (axon tunnel spin-up + CPU baseline + parity) can alone eat a
         # fixed absolute deadline on a cold process
-        # 560 s: at 420 the last field (8k or config1) was truncated on
-        # warm-cache runs — the extras now cover 5 fused configs
-        result.update(measure_extra_configs(lut, time.perf_counter() + 560.0))
+        # 720 s: round 4 adds the config-3 pro-mastering pair and the
+        # config-4 full-range class (BASELINE coverage is now all 5
+        # configs); all programs are pre-warmed into the persistent cache
+        result.update(measure_extra_configs(lut, time.perf_counter() + 720.0))
 
     print(json.dumps(result))
     return 0

@@ -85,7 +85,11 @@ def _encoder_sample_rates(ffi, enc) -> List[int]:
     return [arr[i] for i in range(count.value) if arr[i] > 0]
 
 
-_CHANNEL_LAYOUTS = {1: "mono", 2: "stereo", 6: "5.1", 8: "7.1"}
+# ffmpeg's av_channel_layout_default names for 1..8 channels (what `-ac N`
+# resolves to); counts outside the table keep the source layout and the
+# policy preflight emits a degradation note (plan/policy.py).
+_CHANNEL_LAYOUTS = {1: "mono", 2: "stereo", 3: "2.1", 4: "4.0",
+                    5: "5.0", 6: "5.1", 7: "6.1", 8: "7.1"}
 
 
 def transcode_audio_packets(

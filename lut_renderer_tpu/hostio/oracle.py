@@ -393,6 +393,14 @@ class ChainOracle:
         try:
             ow = _r_i32(self._out, OFF["frame_width"])
             oh = _r_i32(self._out, OFF["frame_height"])
+            ofmt = _r_i32(self._out, OFF["frame_format"])
+            if ofmt != self.fmt_id:
+                # plane dims/dtype below are derived from self.pix_fmt; a
+                # sink that negotiated a different format would be read as
+                # garbage and poison parity numbers — fail loudly instead.
+                raise MediaError(
+                    f"chain sink negotiated pix_fmt id {ofmt}, expected "
+                    f"{self.fmt_id} ({self.pix_fmt})")
             outs = []
             for i in range(3):
                 ph, pw = self._plane_dims(self.pix_fmt, ow, oh, i)

@@ -40,7 +40,10 @@ class ProcessingParams:
     force_cfr: bool = True
     inherit_color_metadata: bool = True
     lut_interp: str = "tetrahedral"
-    zscale_dither: str = "none"  # "none" | "error_diffusion" (mapped to ordered)
+    # "none" | "error_diffusion": exact Floyd-Steinberg via the native host
+    # pass when the C extension is built, else an ordered-dither fallback
+    # (engine/config.py wires the choice; plan.policy notes which ran).
+    zscale_dither: str = "none"
     # YUV<->RGB matrix selection for the LUT input ("auto" | "bt709" | "none"
     # | explicit matrix name) — reference models.py:47-51.
     lut_input_matrix: str = "auto"

@@ -1,5 +1,7 @@
-"""Fully-fused 420->420 render kernel: planar YUV in -> planar YUV out in ONE
-Pallas call (pre/post pixel glue folded into the LUT kernel).
+"""Fully-fused YUV->YUV render kernel: planar YUV in -> planar YUV out in ONE
+Pallas call (pre/post pixel glue folded into the LUT kernel), covering every
+nearest-sited {420,422,444}-in -> {420,422,444}-out geometry — including the
+reference's pro-mastering 422p10le stages (ffmpeg.py:417-472).
 
 The row-phase layout (render._render_rowphase_420) made the 420 glue cheap at
 the XLA level; this folds it into the MXU kernel itself and removes the
@@ -10,7 +12,9 @@ kernel output) plus the XLA-side y interleave:
     (B, H/2, 2, W) layout-identity reshape so the block shape satisfies
     Mosaic's tiling constraint with only static in-kernel indices.
   * chroma is pre-dupped in XLA on the INTEGER plane (u8/u16 lane repeat —
-    the one interleave XLA must still do) and read at (1, W).
+    the one interleave XLA must still do) and read at (1, W) for 420
+    sources (one chroma row per y row pair) or (2, W) for 422/444 sources
+    (one per y row).
   * per phase row: integer->f32 convert, range normalization (+ the
     reference's 8-bit intermediate requantize), YUV->RGB matrix, the
     UNCHANGED hoisted-dot quad bodies (every tier: int8_lite/int8_fast/
@@ -18,10 +22,15 @@ kernel output) plus the XLA-side y interleave:
     random dither and quantization — all in VMEM.
   * the QUANTIZED INTERLEAVED y plane is written directly at its absolute
     row (uint16 always; XLA casts to uint8 for 8-bit outputs).
-  * output chroma leaves as 4 full-width f32 phase planes; XLA finishes the
-    2x2 box with the production add grouping (per-phase lane pair adds,
-    then the phase add) — lane-STRIDED reads are Mosaic poison but XLA runs
-    them at noise level.
+  * output chroma leaves as 4 full-width f32 phase planes; XLA finishes
+    the downsample with the production add grouping — the 2x2 box for 420
+    out (per-phase lane pair adds, then the phase add), the lane-pair
+    0.5-mean + row interleave for 422 out, a straight row interleave for
+    444 out. Lane-STRIDED reads are Mosaic poison but XLA runs them at
+    noise level.
+  * widths that are not a multiple of 128 lanes (DCI 3996/1998) are edge-
+    padded to the next multiple and cropped after the kernel; all math is
+    columnwise so real outputs never read padded columns.
 
 Measured on v5e (experiments/r5_fused_yuv.py): 4K 33^3 int8_lite fused frame
 19.94 -> 16.50 ms (-17%), 8K 81.3 -> 66.6 ms (-18%) — within sync noise of
@@ -36,8 +45,9 @@ the bit-exact-vs-plain XLA layout where exactness is required.
 
 Reference scope: this is the fused-execution twin of the FFmpeg filter chain
 scale/format -> lut3d -> format (src/lut_renderer/ffmpeg.py:195-247,304-310)
-for the 4:2:0 nearest-sited fast path; other geometries take the XLA paths
-in ops.render.
+for the nearest-sited subsampling family, including both pro-mastering
+stages (LUT -> yuv422p10le master, master -> distribution 420); resized /
+bilinear-sited / error-diffusion outputs take the XLA paths in ops.render.
 """
 
 from __future__ import annotations
@@ -93,7 +103,8 @@ def _hash_offsets_row(abs_row, width: int, col0: int, plane_seed: int):
 def _lane_chunk(width: int, target: int) -> int:
     """Largest divisor of `width` that is a multiple of 128 and <= target
     (bm for the in-kernel quad-body calls). Falls back to `width` itself
-    when no such divisor exists (callers gate on width % 128 == 0)."""
+    when no such divisor exists (render_fused420 pads width to a multiple
+    of 128 before calling)."""
     if width <= target:
         return width
     best = width
@@ -138,7 +149,10 @@ def _acc_from_rgb(tier, interp, n, m, widths, cwidths, rwidths,
 
 def _make_kernel(tier, interp, n, m, widths, cwidths, rwidths, dmin, dmax,
                  in_depth, out_depth, in_full, work_full, out_full,
-                 requant, dither, matrix_in, matrix_out, W, chunk, n_tabs):
+                 requant, dither, matrix_in, matrix_out, W, chunk, n_tabs,
+                 in_pair=False):
+    """in_pair: chroma input carries one row per y row (422/444 sources,
+    block (1,1,2,W)) instead of one shared row per y row PAIR (420)."""
     n_chunks = W // chunk
     maxv_out = float((1 << out_depth) - 1)
     maxv_in = float((1 << in_depth) - 1)
@@ -152,11 +166,17 @@ def _make_kernel(tier, interp, n, m, widths, cwidths, rwidths, dmin, dmax,
         yq_ref, u0_ref, u1_ref, v0_ref, v1_ref = refs[pos:pos + 5]
 
         j = pl.program_id(1)
-        uf_all = (u_ref[0, 0, 0, :].reshape(1, W)
-                  .astype(jnp.int32).astype(jnp.float32))
-        vf_all = (v_ref[0, 0, 0, :].reshape(1, W)
-                  .astype(jnp.int32).astype(jnp.float32))
+        if not in_pair:
+            uf_all = (u_ref[0, 0, 0, :].reshape(1, W)
+                      .astype(jnp.int32).astype(jnp.float32))
+            vf_all = (v_ref[0, 0, 0, :].reshape(1, W)
+                      .astype(jnp.int32).astype(jnp.float32))
         for p in range(2):
+            if in_pair:
+                uf_all = (u_ref[0, 0, p, :].reshape(1, W)
+                          .astype(jnp.int32).astype(jnp.float32))
+                vf_all = (v_ref[0, 0, p, :].reshape(1, W)
+                          .astype(jnp.int32).astype(jnp.float32))
             yf_all = (y_ref[0, 0, p, :].reshape(1, W)
                       .astype(jnp.int32).astype(jnp.float32))
             for k in range(n_chunks):
@@ -215,33 +235,51 @@ def _tier_tables(prep, tier, ops):
 
 
 def fused420_applicable(y, u, cfg, prep) -> bool:
-    """The fused YUV->YUV kernel covers the 420->420 nearest-sited class
-    (the rowphase gate) when an MXU-strategy LUT is actually in play and
-    the width is lane-tileable."""
-    return (
-        cfg.in_subsampling == "420"
-        and cfg.out_subsampling == "420"
-        and cfg.chroma_up == "nearest"
-        and cfg.resize is None
+    """The fused YUV->YUV kernel covers every {420,422,444}-in ->
+    {420,422,444}-out nearest-sited geometry (chroma_up only matters for
+    420 sources; 422->444 up is always the lane repeat, ops.pixel) when an
+    MXU-strategy LUT is actually in play. Non-128-multiple widths
+    (DCI 3996/1998 class) are handled by edge pad + crop inside
+    render_fused420, so width is no longer a gate."""
+    if not (
+        cfg.resize is None
         and cfg.dither != "error_diffusion_host"
         and cfg.apply_lut
         and prep is not None
         and cfg.lut_strategy == "mxu"
         and y.ndim >= 2
-        and y.shape[-2] == 2 * u.shape[-2]
-        and y.shape[-1] == 2 * u.shape[-1]
-        and y.shape[-2] % 2 == 0
-        and y.shape[-1] % 128 == 0
-    )
+    ):
+        return False
+    in_sub, out_sub = cfg.in_subsampling, cfg.out_subsampling
+    if in_sub not in ("420", "422", "444") or out_sub not in ("420", "422",
+                                                              "444"):
+        return False
+    if in_sub == "420" and cfg.chroma_up != "nearest":
+        return False
+    H, W = int(y.shape[-2]), int(y.shape[-1])
+    if H % 2:  # grid walks y row PAIRS
+        return False
+    if W % 2 and (in_sub != "444" or out_sub != "444"):
+        return False
+    eh = H // 2 if in_sub == "420" else H
+    ew = W // 2 if in_sub in ("420", "422") else W
+    return int(u.shape[-2]) == eh and int(u.shape[-1]) == ew
 
 
 def render_fused420(y, u, v, prep, cfg, interpret=False, lut_operands=None):
-    """One fused-kernel render of a (batched) 420 frame. Same contract as
-    render._render_rowphase_420; operands ride as jit arguments so compiled
-    programs stay LUT-agnostic."""
+    """One fused-kernel render of a (batched) frame in any nearest-sited
+    {420,422,444} -> {420,422,444} geometry. Same value contract as the
+    plain XLA pipeline (render.render_yuv_frame); operands ride as jit
+    arguments so compiled programs stay LUT-agnostic.
+
+    Widths that are not a multiple of 128 lanes (DCI 3996/1998 class) are
+    edge-padded to the next multiple before the kernel and cropped after —
+    every real output column is computed from real input columns only (all
+    per-pixel math is columnwise; the chroma lane-pair adds align to even
+    columns and W is even whenever chroma is subsampled)."""
     lead = y.shape[:-2]
     H, W = int(y.shape[-2]), int(y.shape[-1])
-    Hc, Wc = H // 2, W // 2
+    in_sub, out_sub = cfg.in_subsampling, cfg.out_subsampling
     B = 1
     for d in lead:
         B *= int(d)
@@ -260,49 +298,54 @@ def render_fused420(y, u, v, prep, cfg, interpret=False, lut_operands=None):
     n_passes = 1 if cfg.interp in ("nearest", "trilinear") else 2
     target = (_COARSE2_BM if tier.startswith("coarse")
               else _block_pixels(n, tier, n_passes))
-    chunk = _lane_chunk(W, target)
+    Wp = -(-W // 128) * 128  # lane-padded kernel width
+    chunk = _lane_chunk(Wp, target)
+    in_pair = in_sub != "420"
 
     kernel = _make_kernel(
         tier, cfg.interp, n, m, prep.quad_widths, cwidths,
         prep.resid_quad_widths, dmin, dmax,
         cfg.in_depth, cfg.out_depth, cfg.in_full_range, cfg.work_full_range,
         cfg.out_full_range, cfg.requantize_intermediate, cfg.dither,
-        cfg.matrix_in, cfg.matrix_out, W, chunk, len(tabs))
+        cfg.matrix_in, cfg.matrix_out, Wp, chunk, len(tabs),
+        in_pair=in_pair)
 
     tab_specs = [
         pl.BlockSpec(t.shape, (lambda bb, jj, nd=t.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
         for t in tabs
     ]
+    cin = 2 if in_pair else 1
     in_specs = [
-        pl.BlockSpec((1, 1, 2, W), lambda bb, jj: (bb, jj, 0, 0),
+        pl.BlockSpec((1, 1, 2, Wp), lambda bb, jj: (bb, jj, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, W), lambda bb, jj: (bb, jj, 0, 0),
+        pl.BlockSpec((1, 1, cin, Wp), lambda bb, jj: (bb, jj, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, W), lambda bb, jj: (bb, jj, 0, 0),
+        pl.BlockSpec((1, 1, cin, Wp), lambda bb, jj: (bb, jj, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + tab_specs
     extra = []
     if cfg.dither == "ordered":
         pat16 = bayer_offsets(4)
-        reps = -(-W // pat16.shape[1])
-        pat_w = np.tile(pat16, (1, reps))[:, :W]  # (16, W) f32
-        extra = [jnp.asarray(pat_w.reshape(8, 2, W))]
-        # block (1, 2, W) selecting the (2j, 2j+1) % 16 pattern row pair
+        reps = -(-Wp // pat16.shape[1])
+        pat_w = np.tile(pat16, (1, reps))[:, :Wp]  # (16, Wp) f32
+        extra = [jnp.asarray(pat_w.reshape(8, 2, Wp))]
+        # block (1, 2, Wp) selecting the (2j, 2j+1) % 16 pattern row pair
         in_specs.append(
-            pl.BlockSpec((1, 2, W), lambda bb, jj: (jj % 8, 0, 0),
+            pl.BlockSpec((1, 2, Wp), lambda bb, jj: (jj % 8, 0, 0),
                          memory_space=pltpu.VMEM))
 
     out_specs = [
-        pl.BlockSpec((1, 1, 2, W), lambda bb, jj: (bb, jj, 0, 0),
+        pl.BlockSpec((1, 1, 2, Wp), lambda bb, jj: (bb, jj, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [
-        pl.BlockSpec((1, 1, 1, W), lambda bb, jj: (bb, jj, 0, 0),
+        pl.BlockSpec((1, 1, 1, Wp), lambda bb, jj: (bb, jj, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
-    out_shape = [jax.ShapeDtypeStruct((B, H // 2, 2, W), jnp.uint16)] + [
-        jax.ShapeDtypeStruct((B, Hc, 1, W), jnp.float32) for _ in range(4)
+    out_shape = [jax.ShapeDtypeStruct((B, H // 2, 2, Wp), jnp.uint16)] + [
+        jax.ShapeDtypeStruct((B, H // 2, 1, Wp), jnp.float32)
+        for _ in range(4)
     ]
 
     call = pl.pallas_call(
@@ -314,29 +357,73 @@ def render_fused420(y, u, v, prep, cfg, interpret=False, lut_operands=None):
         interpret=interpret,
     )
 
-    y4 = y.reshape(B, H // 2, 2, W)
-    ud = jnp.repeat(u.reshape(B, Hc, Wc), 2, axis=-1).reshape(B, Hc, 1, W)
-    vd = jnp.repeat(v.reshape(B, Hc, Wc), 2, axis=-1).reshape(B, Hc, 1, W)
+    def _pad_lanes(x):
+        if x.shape[-1] == Wp:
+            return x
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, Wp - x.shape[-1])]
+        return jnp.pad(x, pad, mode="edge")
+
+    # y rides as (B, H/2, 2, Wp) — a layout identity when unpadded
+    y3 = y.reshape(B, H, W)
+    y4 = _pad_lanes(y3).reshape(B, H // 2, 2, Wp)
+    Hc_in = H // 2 if in_sub == "420" else H
+    Wc_in = W // 2 if in_sub in ("420", "422") else W
+    u2, v2 = u.reshape(B, Hc_in, Wc_in), v.reshape(B, Hc_in, Wc_in)
+    if in_sub in ("420", "422"):
+        # the one interleave XLA must do: lane-dup on the INTEGER plane
+        u2 = jnp.repeat(u2, 2, axis=-1)
+        v2 = jnp.repeat(v2, 2, axis=-1)
+    ud = _pad_lanes(u2).reshape(B, H // 2, cin, Wp)
+    vd = _pad_lanes(v2).reshape(B, H // 2, cin, Wp)
     yq16, u0, u1, v0, v1 = call(y4, ud, vd, *tabs, *extra)
 
-    yq = yq16.reshape(B, H, W)
+    yq = yq16.reshape(B, H, Wp)[..., :W]
     if cfg.out_depth <= 8:
         yq = yq.astype(jnp.uint8)
-    u0, u1 = u0.reshape(B, Hc, W), u1.reshape(B, Hc, W)
-    v0, v1 = v0.reshape(B, Hc, W), v1.reshape(B, Hc, W)
+    u0, u1 = u0.reshape(B, H // 2, Wp), u1.reshape(B, H // 2, Wp)
+    v0, v1 = v0.reshape(B, H // 2, Wp), v1.reshape(B, H // 2, Wp)
 
-    def down(c0, c1):
-        # production grouping (pixel.chroma_downsample_420 on the full-res
-        # plane == per-phase lane pair adds, then the phase add)
-        a0 = c0[..., 0::2] + c0[..., 1::2]
-        a1 = c1[..., 0::2] + c1[..., 1::2]
-        return (a0 + a1) * 0.25
+    def _ilv(e, o):
+        # row-interleave two (B, H/2, w) phase planes -> (B, H, w)
+        return jnp.stack([e, o], axis=-2).reshape(B, H, e.shape[-1])
 
-    uq = quantize_plane(down(u0, u1), cfg.out_depth, cfg.dither,
-                        plane_seed=2)
-    vq = quantize_plane(down(v0, v1), cfg.out_depth, cfg.dither,
-                        plane_seed=3)
+    if out_sub == "420":
+        def down(c0, c1):
+            # production grouping (pixel.chroma_downsample_420 on the
+            # full-res plane == per-phase lane pair adds, then the phase add)
+            a0 = c0[..., :W][..., 0::2] + c0[..., :W][..., 1::2]
+            a1 = c1[..., :W][..., 0::2] + c1[..., :W][..., 1::2]
+            return (a0 + a1) * 0.25
+
+        uq = quantize_plane(down(u0, u1), cfg.out_depth, cfg.dither,
+                            plane_seed=2)
+        vq = quantize_plane(down(v0, v1), cfg.out_depth, cfg.dither,
+                            plane_seed=3)
+        shape_c = lead + (H // 2, W // 2)
+    else:
+        if out_sub == "422":
+            # pixel.chroma_downsample_422's exact lane grouping, per phase
+            def hdown(c):
+                c = c[..., :W]
+                return (c[..., 0::2] + c[..., 1::2]) * 0.5
+        else:  # 444: the f32 phase planes ARE the output chroma rows
+            def hdown(c):
+                return c[..., :W]
+        wq = W // 2 if out_sub == "422" else W
+
+        def q2(c0, c1, seed):
+            # per-phase quantize with row-mapped dither offsets (plane row
+            # r of phase p == absolute chroma row 2r+p) -> bit-identical
+            # to quantizing the interleaved full-height plane
+            q0 = quantize_plane(hdown(c0), cfg.out_depth, cfg.dither,
+                                plane_seed=seed, row_stride=2, row_offset=0)
+            q1 = quantize_plane(hdown(c1), cfg.out_depth, cfg.dither,
+                                plane_seed=seed, row_stride=2, row_offset=1)
+            return _ilv(q0, q1)
+
+        uq = q2(u0, u1, 2)
+        vq = q2(v0, v1, 3)
+        shape_c = lead + (H, wq)
     shape_y = lead + (H, W)
-    shape_c = lead + (Hc, Wc)
     return (yq.reshape(shape_y), uq.reshape(shape_c),
             vq.reshape(shape_c))

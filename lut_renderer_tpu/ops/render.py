@@ -72,12 +72,15 @@ class RenderConfig:
     # (SWS_BICUBIC B=0 C=0.6 — FFmpeg's `-s` default scaler) on the RGB
     # planes after the LUT, applied as MXU matmuls (ops.resample).
     resize: Optional[Tuple[int, int]] = None
-    # 420->420 pixel layout. "auto" picks the fastest applicable:
+    # Pixel-pipeline layout. "auto" picks the fastest applicable:
     #   1. "fused"    — the fully-fused YUV->YUV Pallas kernel (pre/post glue
     #      in-kernel; 4K fused frame 19.9 -> 16.5 ms, 8K 81.3 -> 66.6 on
-    #      v5e — ops.fused420). Bit-exact vs "plain" under interpret; on the
+    #      v5e — ops.fused420); covers every nearest-sited {420,422,444}
+    #      in/out geometry incl. the 422p10le mastering stages and padded
+    #      DCI widths. Bit-exact vs "plain" under interpret; on the
     #      chip max |d| = 1 code value at ~1e-5 pixel rate (Mosaic float
-    #      lowering), far inside every tier's dE budget.
+    #      lowering), far inside every tier's dE budget. Forcing "fused"
+    #      where it cannot apply raises (no silent fallback).
     #   2. "rowphase" — the ROW-PHASE half-height XLA layout (bit-identical
     #      to plain everywhere — FINDINGS "Phase-decomposed 420 pipeline").
     #   3. "plain"    — the straight full-res XLA layout.
@@ -107,15 +110,27 @@ _PHASE_LAYOUTS = ("auto", "plain", "rowphase", "fused")
 
 def _fused420_applicable(y, u, cfg: RenderConfig, prep) -> bool:
     """True when the frame takes the fully-fused YUV->YUV kernel
-    (ops.fused420): the rowphase class, plus an MXU LUT actually in play
-    and a lane-tileable width."""
+    (ops.fused420): any nearest-sited {420,422,444} in/out geometry with an
+    MXU LUT actually in play (non-128-multiple widths are padded inside).
+
+    An EXPLICITLY forced "fused" layout that does not apply raises instead
+    of silently degrading, so tests and measurements can never time the
+    wrong path."""
     if cfg.phase_layout not in _PHASE_LAYOUTS:
         raise ValueError(f"unknown phase_layout {cfg.phase_layout!r}")
     if cfg.phase_layout not in ("auto", "fused"):
         return False
     from .fused420 import fused420_applicable
 
-    return fused420_applicable(y, u, cfg, prep)
+    ok = fused420_applicable(y, u, cfg, prep)
+    if not ok and cfg.phase_layout == "fused":
+        raise ValueError(
+            "phase_layout='fused' was forced but the fused YUV->YUV kernel "
+            "does not apply to this config (it needs an MXU-strategy LUT, "
+            "nearest chroma siting, no resize, a non-error-diffusion "
+            "dither, even dimensions, and matching chroma plane geometry); "
+            f"cfg={cfg}, y={tuple(y.shape)}, u={tuple(u.shape)}")
+    return ok
 
 
 def _rowphase_applicable(y, u, cfg: RenderConfig) -> bool:

@@ -517,6 +517,20 @@ def build_render_spec(
         spec.audio_bitrate = params.audio_bitrate or None
         spec.sample_rate = params.sample_rate or None
         spec.channels = params.channels or None
+        if spec.channels:
+            try:
+                nch = int(spec.channels)
+            except ValueError:
+                nch = None
+            from ..hostio.audio import _CHANNEL_LAYOUTS
+
+            if nch is None or nch not in _CHANNEL_LAYOUTS:
+                notes.append(
+                    f"Audio channels: requested count '{spec.channels}' has "
+                    f"no named layout in the bundled libraries "
+                    f"(supported: {sorted(_CHANNEL_LAYOUTS)}); the source "
+                    f"channel layout will be KEPT"
+                )
         # The reference offers aac/mp3/copy (main_window.py:763) with no
         # availability preflight; the bundled libs ship aac/flac/alac/ac3/
         # eac3/mp2/opus/vorbis/pcm but not mp3. Degradation-notes honesty:
@@ -539,23 +553,42 @@ def build_render_spec(
     # bundled muxers, tests/test_encoders_ext.py): name the failure before
     # the encode stage hits write_header.
     ext = Path(spec.output).suffix.lower() if spec.output else ""
+    # Resolve the codecs that will ACTUALLY hit the muxer: a blank video
+    # codec falls to the mode template's default at dispatch time, and
+    # audio 'copy' carries the SOURCE stream's codec (a default-resolved
+    # non-VP9 video or a copied AAC track fails at write_header just as
+    # surely as an explicit one).
+    eff_video = params.video_codec
+    if not eff_video:
+        try:
+            from ..app.defaults import mode_template
+
+            eff_video = mode_template(params.processing_mode).video_codec
+        except Exception:
+            eff_video = ""
+    eff_audio = params.audio_codec or ""
+    audio_copied = eff_audio in ("", "copy")
+    if audio_copied and source_info is not None and source_info.audio_codec:
+        eff_audio = str(source_info.audio_codec)
     blocked_audio = {
         ".mov": {"flac", "opus"},  # mov muxer: "only supported in MP4"
         ".webm": {"aac", "flac", "alac", "ac3", "eac3", "mp2", "mp3",
                   "pcm_s16le"},   # webm allows only Opus/Vorbis audio
     }.get(ext, set())
-    if (params.audio_codec or "") in blocked_audio:
+    if eff_audio in blocked_audio:
+        via = " (copied from the source)" if audio_copied else ""
         notes.append(
-            f"Warning: the {ext} container cannot carry {params.audio_codec} "
-            f"audio — the mux will fail; use "
+            f"Warning: the {ext} container cannot carry {eff_audio} "
+            f"audio{via} — the mux will fail; use "
             + (".mp4/.mkv" if ext == ".mov" else "opus or vorbis")
         )
-    if ext == ".webm" and params.video_codec not in (
+    if ext == ".webm" and eff_video not in (
         "", "copy", "libvpx", "libvpx-vp9", "vp8", "vp9", "av1", "libaom-av1"
     ):
+        via = "" if eff_video == params.video_codec else " (mode default)"
         notes.append(
             f"Warning: WebM only carries VP8/VP9/AV1 video — "
-            f"{params.video_codec} will fail at mux time; use libvpx or "
+            f"{eff_video}{via} will fail at mux time; use libvpx or "
             f"libvpx-vp9, or a .mkv/.mp4 output"
         )
 

@@ -276,6 +276,63 @@ def test_policy_container_compat_warnings(tmp_path, out_name, vcodec, acodec,
     assert any(needle in n for n in spec.notes), spec.notes
 
 
+def test_policy_webm_warning_resolves_default_codec(tmp_path):
+    """ADVICE r3: a BLANK video codec resolves via the mode template (mpeg4
+    on this box — libx264 absent) and still fails webm mux — the preflight
+    must name it rather than pass the blank through."""
+    spec = build_render_spec(
+        Path("in.webm"), tmp_path / "o.webm",
+        ProcessingParams(video_codec="", audio_codec="opus"),
+        None, _info(),
+    )
+    assert any("WebM only carries" in n and "mode default" in n
+               for n in spec.notes), spec.notes
+
+
+def test_policy_webm_warning_resolves_copied_audio(tmp_path):
+    """ADVICE r3: audio 'copy' carries the SOURCE codec into the muxer; a
+    copied AAC track fails webm write_header like an explicit one."""
+    info = _info()
+    info.audio_codec = "aac"
+    spec = build_render_spec(
+        Path("in.mov"), tmp_path / "o.webm",
+        ProcessingParams(video_codec="libvpx-vp9", audio_codec="copy"),
+        None, info,
+    )
+    assert any("cannot carry aac" in n and "copied from the source" in n
+               for n in spec.notes), spec.notes
+    # a copied Opus track is fine — no warning
+    info2 = _info()
+    info2.audio_codec = "opus"
+    spec2 = build_render_spec(
+        Path("in.mov"), tmp_path / "o.webm",
+        ProcessingParams(video_codec="libvpx-vp9", audio_codec="copy"),
+        None, info2,
+    )
+    assert not any("cannot carry" in n for n in spec2.notes), spec2.notes
+
+
+def test_policy_channels_note_for_unmappable_count(tmp_path):
+    """ADVICE r3: counts with no named layout note the kept source layout;
+    newly-added counts (3..8) pass silently."""
+    info = _info()
+    info.audio_codec = "pcm_s16le"
+    spec = build_render_spec(
+        Path("in.mov"), tmp_path / "o.mkv",
+        ProcessingParams(video_codec="mpeg4", audio_codec="flac",
+                         channels="12"),
+        None, info,
+    )
+    assert any("no named layout" in n for n in spec.notes), spec.notes
+    spec2 = build_render_spec(
+        Path("in.mov"), tmp_path / "o.mkv",
+        ProcessingParams(video_codec="mpeg4", audio_codec="flac",
+                         channels="3"),
+        None, info,
+    )
+    assert not any("no named layout" in n for n in spec2.notes), spec2.notes
+
+
 def test_policy_no_compat_warning_for_good_combos(tmp_path):
     for out_name, vcodec, acodec in [
         ("o.mov", "mpeg4", "alac"),

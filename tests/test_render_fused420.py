@@ -51,11 +51,13 @@ def prep65():
     return prepare_lut(lut)
 
 
-def _planes(rng, b, h, w, depth):
+def _planes(rng, b, h, w, depth, in_sub="420"):
     hi = (1 << depth) - 1
     dt = np.uint16 if depth > 8 else np.uint8
+    hc = h // 2 if in_sub == "420" else h
+    wc = w // 2 if in_sub in ("420", "422") else w
     shape_y = (b, h, w) if b else (h, w)
-    shape_c = (b, h // 2, w // 2) if b else (h // 2, w // 2)
+    shape_c = (b, hc, wc) if b else (hc, wc)
     y = rng.integers(0, hi + 1, shape_y).astype(dt)
     u = rng.integers(0, hi + 1, shape_c).astype(dt)
     v = rng.integers(0, hi + 1, shape_c).astype(dt)
@@ -64,7 +66,7 @@ def _planes(rng, b, h, w, depth):
 
 def _assert_fused_equals_plain(prep, cfg, b=2, h=32, w=128):
     rng = np.random.default_rng(7)
-    y, u, v = _planes(rng, b, h, w, cfg.in_depth)
+    y, u, v = _planes(rng, b, h, w, cfg.in_depth, cfg.in_subsampling)
     fused_cfg = replace(cfg, phase_layout="fused")
     assert _fused420_applicable(jnp.asarray(y), jnp.asarray(u), fused_cfg,
                                 prep)
@@ -112,6 +114,55 @@ def test_fused_matches_plain_unbatched(prep):
     _assert_fused_equals_plain(prep, RenderConfig(), b=0)
 
 
+# ---- generalized geometries (round 4): the pro-mastering 422p10le class ----
+
+def test_fused_matches_plain_422in_422out_10bit(prep):
+    """Stage-1 pro master geometry: 422p10 source -> yuv422p10le master."""
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_depth=10, out_depth=10, in_subsampling="422",
+        out_subsampling="422"))
+
+
+def test_fused_matches_plain_422in_420out_dither(prep):
+    """Stage-2 distribution geometry: 422p10le master -> 420p8 + dither."""
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_depth=10, out_depth=8, in_subsampling="422",
+        out_subsampling="420", dither="ordered"))
+
+
+def test_fused_matches_plain_420in_422out(prep):
+    """420 source mastered to 422p10le (the reference forces the master's
+    pix_fmt regardless of source subsampling, ffmpeg.py:419-421)."""
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_depth=8, out_depth=10, in_subsampling="420",
+        out_subsampling="422", dither="random"))
+
+
+def test_fused_matches_plain_444_roundtrip(prep):
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_subsampling="444", out_subsampling="444", dither="ordered"))
+
+
+def test_fused_matches_plain_420in_444out(prep):
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_subsampling="420", out_subsampling="444"))
+
+
+def test_fused_matches_plain_444in_420out(prep):
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_subsampling="444", out_subsampling="420"))
+
+
+def test_fused_pad_and_crop_dci_width(prep):
+    """Non-128-multiple width (the DCI 3996/1998 class, VERDICT r3 #4):
+    stays on the fused path via edge pad + crop, same parity contract."""
+    _assert_fused_equals_plain(prep, RenderConfig(dither="ordered"),
+                               b=1, h=16, w=160)
+    _assert_fused_equals_plain(prep, RenderConfig(
+        in_depth=10, out_depth=10, in_subsampling="422",
+        out_subsampling="422", dither="random"), b=1, h=16, w=160)
+
+
 def test_fused_matches_plain_coarse2(prep65):
     _assert_fused_equals_plain(
         prep65, RenderConfig(lut_precision="coarse2f"), b=1, h=16, w=128)
@@ -127,10 +178,11 @@ def test_auto_prefers_fused_when_applicable(prep):
     u = jnp.zeros((2, 16, 64), jnp.uint8)
     cfg = RenderConfig()
     assert _fused420_applicable(y, u, cfg, prep)
-    # narrow width (not lane-tileable) falls back to rowphase
+    # non-lane-aligned widths now pad-and-crop INSIDE the fused kernel
+    # (DCI 3996/1998-class frames stay fused)
     y2 = jnp.zeros((2, 32, 64), jnp.uint8)
     u2 = jnp.zeros((2, 16, 32), jnp.uint8)
-    assert not _fused420_applicable(y2, u2, cfg, prep)
+    assert _fused420_applicable(y2, u2, cfg, prep)
     # error-diffusion host output needs float planes -> not fused
     assert not fused420_applicable(
         y, u, replace(cfg, dither="error_diffusion_host"), prep)
@@ -146,6 +198,19 @@ def test_auto_prefers_fused_when_applicable(prep):
         y, u, replace(cfg, phase_layout="plain"), prep)
     with pytest.raises(ValueError):
         _fused420_applicable(y, u, replace(cfg, phase_layout="bogus"), prep)
+
+
+def test_forced_fused_raises_when_inapplicable(prep):
+    """ADVICE r3: an explicitly forced 'fused' layout must never silently
+    fall through to the plain path — it raises with the reason."""
+    y = jnp.zeros((2, 32, 128), jnp.uint8)
+    u = jnp.zeros((2, 16, 64), jnp.uint8)
+    bad = RenderConfig(phase_layout="fused", dither="error_diffusion_host")
+    with pytest.raises(ValueError, match="forced"):
+        _fused420_applicable(y, u, bad, prep)
+    with pytest.raises(ValueError, match="forced"):
+        render_yuv_frame(y, u, u, prep, replace(bad, lut_strategy="gather"),
+                         interpret=True)
 
 
 def test_hash_offsets_row_twin():
