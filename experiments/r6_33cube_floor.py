@@ -192,9 +192,12 @@ def bench_ablate(stage, bm):
 
     @jax.jit
     def f5(r, g, b):
-        s = 0.0
+        # chain a real data dependency through each iteration so XLA can't
+        # CSE the 5 identical calls into one (first run of this script did
+        # exactly that: every stage measured ~0 ms)
+        s = jnp.float32(0.0)
         for _ in range(5):
-            s = s + jnp.sum(call(r, g, b)[0])
+            s = s + jnp.sum(call(r + s * jnp.float32(1e-30), g, b)[0])
         return s
 
     try:

@@ -52,8 +52,9 @@ TOPICS: Dict[str, str] = {
     "resolution": """\
 --resolution WxH (blank = source)
   Output size. Blank inherits the probed source resolution (the
-  reference's smart default). Scaling is bilinear, done on the TPU in RGB
-  after the LUT.""",
+  reference's smart default). Scaling matches swscale's default bicubic
+  (B=0, C=0.6 — what FFmpeg `-s` does), run on the TPU in RGB after the
+  LUT as MXU matmuls.""",
     "bitrate": """\
 --bitrate N[k|M] (blank = source)
   Target video bitrate. Blank inherits the source's probed bitrate. When
@@ -236,9 +237,12 @@ kernel precision (automatic)
   Bit-depth-reduction dither (matters with force_8bit or 10->8 paths).
   error_diffusion: exact serial Floyd-Steinberg on the host via the native
   C++ helper (zscale-faithful); if the helper is unavailable it degrades
-  to ordered with a note. ordered: zero-mean 16x16 Bayer inside the TPU
-  pipeline. random: stateless position-hash stochastic rounding (no tile
-  structure, bit-reproducible across runs).""",
+  to ordered with a note. NOTE: the FS pass is inherently serial and runs
+  on one CPU core — measured ~167 ms per 4K 4:2:0 frame (~6 fps ceiling)
+  vs ~60 fps for the in-kernel dithers; prefer ordered/random unless
+  zscale-exact output is required. ordered: zero-mean 16x16 Bayer inside
+  the TPU pipeline. random: stateless position-hash stochastic rounding
+  (no tile structure, bit-reproducible across runs).""",
     "audio": """\
 --audio-codec copy|aac|flac|alac|ac3|eac3|mp2|opus|vorbis|none
   copy (default): remux the source audio stream untouched. Any other name

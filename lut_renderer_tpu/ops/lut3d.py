@@ -315,6 +315,11 @@ def _quad_pass_factors(n, n_passes, idx, wall, par_b, par_g, iota):
     negative weights — pyramid's difference pass — are fine)."""
     parb, clampb = par_b
     parg, clampg = par_g
+    # NOTE (r4): rebuilding these taps via i32-select one-hot rows + convert
+    # + (1, bm) multiplies (the r3 quadrant-mask trick) measured NEUTRAL
+    # here — a one-off 11.9 ms reading did not reproduce (16.1/15.7 on
+    # re-runs); see experiments/r6_33_vpu_attack.py + r6_taps_ab.py and
+    # FINDINGS negative #8. The f32 selects stay.
     rvs, scals = [], []
     for ps in range(n_passes):
         wts = wall[6 * ps:6 * ps + 6, :]
