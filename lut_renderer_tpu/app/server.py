@@ -14,7 +14,10 @@ Protocol: JSON lines (one request object per line, one response per line).
                                            "logs": [...], "warnings": [...]}
   {"op": "status"}                     -> {"ok": true, "tasks": [...],
                                            "queue_progress": N}
-  {"op": "status", "task_id": "..."}   -> single-task view
+  {"op": "status", "task_id": "..."}   -> single-task view incl. "logs":
+                                          the runtime log tail (policy
+                                          decision notes, stage progress,
+                                          errors — what the CLI prints)
   {"op": "cancel", "task_id": "..."}   -> {"ok": true}
   {"op": "ping"}                       -> {"ok": true, "tasks": N}
   {"op": "shutdown"}                   -> {"ok": true} then the server stops
@@ -63,6 +66,19 @@ class QueueServer:
         self._server: Optional[socketserver.ThreadingUnixStreamServer] = None
         self._thread: Optional[threading.Thread] = None
         self.shutdown_requested = threading.Event()
+        # Per-task runtime log tail (policy decision notes, stage progress,
+        # errors) so daemon clients can read the notes the CLI prints — the
+        # reference surfaces these in its task detail dialog. Bounded.
+        self._task_logs: dict = {}
+        self.manager.task_log.connect(self._record_log)
+
+    _LOG_TAIL = 200
+
+    def _record_log(self, task_id: str, message: str) -> None:
+        buf = self._task_logs.setdefault(task_id, [])
+        buf.append(message)
+        if len(buf) > self._LOG_TAIL:
+            del buf[:len(buf) - self._LOG_TAIL]
 
     # -- request handling -----------------------------------------------------
     def handle_request(self, req: dict) -> dict:
@@ -161,7 +177,9 @@ class QueueServer:
             task = tasks.get(task_id)
             if task is None:
                 return {"ok": False, "error": f"unknown task {task_id!r}"}
-            return {"ok": True, "task": _task_view(task)}
+            view = _task_view(task)
+            view["logs"] = list(self._task_logs.get(task_id, []))
+            return {"ok": True, "task": view}
         views = [_task_view(t) for t in tasks.values()]
         agg = (sum(t.progress for t in tasks.values()) // len(tasks)
                if tasks else 0)

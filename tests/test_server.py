@@ -52,6 +52,12 @@ def test_serve_submit_status_complete(served):
     assert Path(by_id[tid]["output"]).exists()
     one = request(sock, {"op": "status", "task_id": tid})
     assert one["ok"] and one["task"]["progress"] == 100
+    # the single-task view exposes the runtime log tail (policy decision
+    # notes + stage lines — what the CLI prints); round-4 serving parity
+    # with the reference's task detail dialog
+    logs = one["task"]["logs"]
+    assert any("engine:" in m for m in logs), logs
+    assert any("note:" in m.lower() or "Auto GOP" in m for m in logs), logs
 
     # warm reuse: a second job on the same server/process completes too
     resp2 = request(sock, {
