@@ -237,9 +237,10 @@ kernel precision (automatic)
   Bit-depth-reduction dither (matters with force_8bit or 10->8 paths).
   error_diffusion: exact serial Floyd-Steinberg on the host via the native
   C++ helper (zscale-faithful); if the helper is unavailable it degrades
-  to ordered with a note. NOTE: the FS pass is inherently serial and runs
-  on one CPU core — measured ~167 ms per 4K 4:2:0 frame (~6 fps ceiling)
-  vs ~60 fps for the in-kernel dithers; prefer ordered/random unless
+  to ordered with a note. NOTE: the FS recurrence is inherently serial and
+  runs on one CPU core — the fixed-point fast path measures ~52 ms per 4K
+  4:2:0 frame (~19 fps ceiling, overlapped with device compute) vs ~60 fps
+  for the in-kernel dithers; prefer ordered/random unless
   zscale-exact output is required. ordered: zero-mean 16x16 Bayer inside
   the TPU pipeline. random: stateless position-hash stochastic rounding
   (no tile structure, bit-reproducible across runs).""",

@@ -6,9 +6,10 @@ it is never required. Components:
 
   * ltn_cube_parse: fast .cube parsing straight into [r][g][b] layout
     (~30x faster than the text path for 65^3 LUTs);
-  * ltn_dither_ed: exact Floyd-Steinberg error diffusion (serpentine) — the
-    serial algorithm the TPU's ordered dither substitutes for; used as the
-    dither quality oracle and as an opt-in host finishing pass.
+  * ltn_dither_ed / ltn_dither_ed_fx: exact Floyd-Steinberg error diffusion
+    (serpentine) — the serial algorithm the TPU's ordered dither substitutes
+    for; used as the dither quality oracle and as an opt-in host finishing
+    pass. _fx is the fixed-point production path (3.1x the float version).
 """
 
 from __future__ import annotations
@@ -66,6 +67,13 @@ def get_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_float,
             ]
             lib.ltn_dither_ed.restype = ctypes.c_int
+            # Fixed-point fast path (round 4): ~3x the float recurrence.
+            # May be absent from a stale prebuilt .so — probed, optional.
+            try:
+                lib.ltn_dither_ed_fx.argtypes = lib.ltn_dither_ed.argtypes
+                lib.ltn_dither_ed_fx.restype = ctypes.c_int
+            except AttributeError:
+                pass
             _LIB = lib
         except OSError:
             _LIB = None
@@ -116,16 +124,30 @@ def parse_cube_native(path) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray
     return table, domain[:3].copy(), domain[3:].copy()
 
 
-def error_diffusion_quantize(x: np.ndarray, depth: int) -> Optional[np.ndarray]:
+def error_diffusion_quantize(
+    x: np.ndarray, depth: int, exact_float: bool = False
+) -> Optional[np.ndarray]:
     """Exact Floyd-Steinberg quantization of float code values (H, W) at
-    `depth` bits; None when the native library is unavailable."""
+    `depth` bits; None when the native library is unavailable.
+
+    The production path is the fixed-point recurrence (ltn_dither_ed_fx,
+    1/4096-code-value input resolution, per-pixel error conserved exactly;
+    3.1x the float version's throughput on this host — measured 4.05 vs
+    12.5 ns/px, experiments/r7_dither_fx.py). `exact_float=True` selects
+    the original float recurrence (the arithmetic the round-3 FINDINGS
+    numbers were taken with); outputs differ from fx only by +-1-code
+    toggles at ~14% of pixels with identical mean and visual noise shape.
+    """
     lib = get_native()
     if lib is None:
         return None
+    fn = lib.ltn_dither_ed
+    if not exact_float:
+        fn = getattr(lib, "ltn_dither_ed_fx", fn)
     x = np.ascontiguousarray(x, np.float32)
     h, w = x.shape
     out = np.empty((h, w), np.uint16)
-    rc = lib.ltn_dither_ed(
+    rc = fn(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         h, w, float((1 << depth) - 1),

@@ -82,6 +82,45 @@ def test_error_diffusion_beats_plain_rounding_on_gradients():
 
 
 @needs_native
+def test_error_diffusion_fx_matches_float_recurrence():
+    """The fixed-point fast path is FS with 1/4096-code input resolution:
+    vs the float recurrence, pixels toggle by at most one code value at a
+    low rate and the diffused mean is identical (error conserved exactly)."""
+    rng = np.random.default_rng(7)
+    x = np.clip(
+        np.linspace(0, 255, 512, dtype=np.float32)[None, :]
+        + rng.normal(0, 0.4, (96, 512)).astype(np.float32),
+        0, 255,
+    )
+    fx = error_diffusion_quantize(x, 8).astype(int)
+    fl = error_diffusion_quantize(x, 8, exact_float=True).astype(int)
+    d = fx - fl
+    assert np.abs(d).max() <= 1
+    assert (d != 0).mean() < 0.25
+    assert abs(fx.mean() - x.mean()) < 0.01
+    assert abs(fl.mean() - x.mean()) < 0.01
+
+
+@needs_native
+def test_error_diffusion_fx_saturation_and_odd_shapes():
+    """Out-of-range inputs clamp with correct error bookkeeping; the
+    register-carried row epilogues cover every error slot at any width."""
+    xs = np.array(
+        [[-3.0, 0.2, 254.9, 258.0, 300.0, -50.0, 12.5, 255.0]], np.float32
+    ).repeat(5, 0)
+    q = error_diffusion_quantize(xs, 8)
+    assert q.min() == 0 and q.max() == 255
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (2, 3), (3, 5), (7, 2), (5, 257)]:
+        xo = rng.uniform(0, 255, shape).astype(np.float32)
+        qo = error_diffusion_quantize(xo, 8)
+        assert qo.shape == shape
+        assert 0 <= qo.min() and qo.max() <= 255
+        # mean preservation within the edge-loss bound for tiny planes
+        assert abs(qo.astype(float).mean() - xo.mean()) < 2.0
+
+
+@needs_native
 def test_error_diffusion_10bit():
     x = np.full((64, 64), 800.3, np.float32)
     q = error_diffusion_quantize(x, 10)
