@@ -556,11 +556,20 @@ def cmd_serve(args) -> int:
     server = QueueServer(args.socket, max_concurrency=args.concurrency,
                          lut_strategy=args.lut_strategy)
     server.start()
+    web = None
+    if getattr(args, "http", None) is not None:
+        from .webui import WebUI
+
+        web = WebUI(server, host=args.http_host, port=args.http)
+        web.start()
+        print(f"web GUI on {web.url}")
     print(f"lut-tpu serving on {args.socket} "
           f"(concurrency {args.concurrency}); "
           f"send {{\"op\": \"shutdown\"}} to stop")
     try:
         server.wait()
+        if web is not None:
+            web.stop()
     except KeyboardInterrupt:
         print("\nshutting down", file=sys.stderr)
         for task_id in list(server.manager.tasks):
@@ -763,6 +772,13 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--warmup", action="store_true",
                        help="precompile the production program set before "
                             "accepting jobs (cold-start protection)")
+    serve.add_argument("--http", type=int, metavar="PORT",
+                       help="also serve the web GUI (the browser analog of "
+                            "the reference's main window) on this port; "
+                            "0 picks a free port")
+    serve.add_argument("--http-host", default="127.0.0.1",
+                       help="web GUI bind address (default 127.0.0.1; the "
+                            "trust model matches the Unix socket)")
     serve.add_argument("--lut-strategy", choices=["mxu", "gather"],
                        default="mxu", help=argparse.SUPPRESS)
     serve.set_defaults(fn=cmd_serve)
@@ -798,7 +814,14 @@ def main(argv=None) -> int:
         from ..utils.compile_cache import enable_persistent_compile_cache
 
         enable_persistent_compile_cache()
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) closed early — normal CLI exit;
+        # point fd 1 at devnull so interpreter-exit flushes stay silent
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, 1)
+        return 0
 
 
 if __name__ == "__main__":

@@ -266,6 +266,18 @@ kernel precision (automatic)
   percent), aggregate queue percent in the header, keys 1-9 cancel that
   row's task, 'a' cancels all unfinished, 'q' leaves the monitor (the
   queue keeps running). The headless analog of the reference's window.""",
+    "serve": """\
+lut-tpu serve --socket PATH [--http PORT] [--warmup] [--concurrency N]
+  Warm render daemon: one process owns the chip and keeps the compiled
+  programs and prepared LUTs resident, so a job costs render time instead
+  of process startup + compile. Jobs arrive as JSON lines over the Unix
+  socket (drive ad hoc with `lut-tpu client`); --warmup precompiles the
+  production program set first (one-time per machine via the persistent
+  cache). --http PORT additionally serves the web GUI — the browser
+  analog of the reference's main window: full parameter panel with
+  per-field help, LUT history, presets, live queue table with progress/
+  cancel/reprocess/info. Binds 127.0.0.1 by default; the trust model
+  matches the socket (clients submit server-side paths).""",
     "queue": """\
 queue persistence
   --save-queue FILE writes the queue state (tasks, params, status) as
@@ -300,6 +312,8 @@ ALIASES = {
     "out-dir": "out_dir", "output-dir": "out_dir",
     "intermediate_dir": "master_dir", "tpu": "hardware",
     "pix-fmt": "pix_fmt",
+    "web": "serve", "gui": "serve", "daemon": "serve", "client": "serve",
+    "http": "serve",
 }
 
 

@@ -1,0 +1,265 @@
+"""Web GUI shell for the serve daemon — the browser analog of the
+reference's Qt main window.
+
+The reference paints its GUI with PySide6/qt-material (reference
+app.py:68-84, main_window.py:197 onward). PySide6 is not part of this
+environment, and a desktop toolkit is the wrong shell for a headless TPU
+deployment anyway — the machine that owns the chip is usually not the
+machine with the screen. The GUI shell here is a zero-dependency web page
+served by the daemon itself (`lut-tpu serve --http PORT`): the same
+QueueServer process that keeps the jit executables warm serves a
+single-page UI over stdlib ``http.server``, with the main window's
+affordances mapped 1:1:
+
+* add-tasks form with every ProcessingParams field, blank-means-auto, and
+  per-field inline help (reference params panel main_window.py:450-903,
+  help popups main_window.py:1269-1622);
+* fast/pro mode templates (main_window.py:1078-1098);
+* LUT history picker (lut_manager.py:120-186) — submitting remembers the
+  LUT exactly like Start does (main_window.py:1824);
+* presets load/save with the overwrite-confirmation contract
+  (presets.py:37-42, main_window.py:2402-2419);
+* live queue table with thumbnails, per-row progress, cancel, reprocess
+  and an info view carrying the runtime log tail (queue table
+  main_window.py:2188-2271, detail dialog main_window.py:1979-2119);
+* aggregate queue progress in the header (the window-title/taskbar
+  aggregation, main_window.py:331-371), clear-completed, shutdown.
+
+The JSON API is a thin bridge onto the Unix-socket protocol
+(app/server.py): ``POST /api/op`` passes the request object to
+``QueueServer.handle_request`` unchanged, so everything the socket can do
+the page can do. Trust model matches the socket: binds 127.0.0.1 by
+default; anyone who can reach the port can submit jobs (file paths are
+server-side paths).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from .. import __version__
+from ..models import ProcessingParams
+from .defaults import mode_template
+from .help import help_text
+from .lut_history import last_lut, lut_history, remember_lut
+from .presets import (
+    PresetError,
+    PresetExistsError,
+    list_presets,
+    load_preset,
+    overwrite_preset,
+    save_preset,
+)
+from .server import QueueServer
+from .webui_page import PAGE
+
+_MAX_BODY = 4 << 20  # a submit request is small; cap abuse
+
+
+def _field_schema() -> list:
+    """One entry per ProcessingParams field, with both mode-template
+    defaults and the field's help topic (the reference's per-field popup
+    text), so the page can render the full params panel data-driven."""
+    import dataclasses
+
+    fast = mode_template("fast").to_dict()
+    pro = mode_template("pro").to_dict()
+    bools = ProcessingParams._BOOL_FIELDS
+    out = []
+    for f in dataclasses.fields(ProcessingParams):
+        if f.name.startswith("_"):
+            continue
+        help_body = help_text(f.name)
+        if help_body.startswith("unknown topic"):
+            help_body = ""
+        out.append({
+            "name": f.name,
+            "bool": f.name in bools,
+            "fast": fast[f.name],
+            "pro": pro[f.name],
+            "help": help_body,
+        })
+    return out
+
+
+class WebUI:
+    """HTTP front end over a QueueServer (plus app-layer stores).
+
+    Owns nothing queue-related: all task operations go through
+    ``queue_server.handle_request`` so behavior (and its tests) stay in one
+    place. The web layer adds only read endpoints for the app stores
+    (LUT history, presets, help, thumbnails) and preset saving.
+    """
+
+    def __init__(self, queue_server: QueueServer, host: str = "127.0.0.1",
+                 port: int = 0, settings: Optional[dict] = None):
+        self.queue = queue_server
+        self.host = host
+        self._requested_port = port
+        if settings is not None:
+            self.settings = settings
+            self._persist_settings = False
+        else:
+            from .settings import load_settings
+
+            self.settings = load_settings()
+            self._persist_settings = True
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- app-layer ops ------------------------------------------------------
+    def _meta(self) -> dict:
+        return {
+            "ok": True,
+            "version": __version__,
+            "fields": _field_schema(),
+            "luts": lut_history(self.settings),
+            "last_lut": last_lut(self.settings),
+            "presets": list_presets(),
+            "concurrency": self.queue.manager._max,
+        }
+
+    def _save_preset(self, req: dict) -> dict:
+        name = req.get("name", "")
+        params = ProcessingParams.from_dict(dict(req.get("params") or {}))
+        try:
+            if req.get("overwrite"):
+                overwrite_preset(name, params)
+            else:
+                save_preset(name, params)
+        except PresetExistsError:
+            return {"ok": False, "error": "exists",
+                    "hint": "preset exists; set overwrite to replace it"}
+        except (PresetError, OSError, ValueError) as exc:
+            return {"ok": False, "error": str(exc)}
+        return {"ok": True, "presets": list_presets()}
+
+    def _load_preset(self, name: str) -> dict:
+        try:
+            return {"ok": True, "params": load_preset(name).to_dict()}
+        except (PresetError, OSError, ValueError) as exc:
+            return {"ok": False, "error": str(exc)}
+
+    def handle_op(self, req: dict) -> dict:
+        """POST /api/op entry: app-layer ops first, everything else is the
+        socket protocol verbatim."""
+        if req.get("op") == "save_preset":
+            return self._save_preset(req)
+        resp = self.queue.handle_request(req)
+        if (req.get("op") == "submit" and resp.get("ok")
+                and req.get("lut")):
+            # Start remembers the LUT (reference main_window.py:1824)
+            self.settings = remember_lut(req["lut"], self.settings,
+                                         persist=self._persist_settings)
+        return resp
+
+    def _thumb(self, task_id: str):
+        from .thumbnails import ensure_thumbnail
+
+        task = self.queue.manager.tasks.get(task_id)
+        if task is None:
+            return None
+        path = ensure_thumbnail(task.source_path)
+        if path is None or not Path(path).exists():
+            return None
+        return Path(path).read_bytes()
+
+    # -- http plumbing --------------------------------------------------------
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1] if self._server else 0
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}/"
+
+    def start(self) -> None:
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # the daemon already logs; keep stdlib request spam off stderr
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, payload: dict, code: int = 200) -> None:
+                self._send(code, json.dumps(payload).encode("utf-8"),
+                           "application/json")
+
+            def do_GET(self):  # noqa: N802
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                try:
+                    if url.path == "/":
+                        self._send(200, PAGE.encode("utf-8"),
+                                   "text/html; charset=utf-8")
+                    elif url.path == "/api/meta":
+                        self._json(ui._meta())
+                    elif url.path == "/api/queue":
+                        self._json(ui.queue.handle_request({"op": "status"}))
+                    elif url.path == "/api/task":
+                        self._json(ui.queue.handle_request(
+                            {"op": "status",
+                             "task_id": q.get("id", [""])[0]}))
+                    elif url.path == "/api/preset":
+                        self._json(ui._load_preset(q.get("name", [""])[0]))
+                    elif url.path == "/api/thumb":
+                        data = ui._thumb(q.get("task", [""])[0])
+                        if data is None:
+                            self._json({"ok": False,
+                                        "error": "no thumbnail"}, 404)
+                        else:
+                            self._send(200, data, "image/jpeg")
+                    else:
+                        self._json({"ok": False, "error": "not found"}, 404)
+                except Exception as exc:  # never kill the connection
+                    self._json({"ok": False, "error": str(exc)[:300]}, 500)
+
+            def do_POST(self):  # noqa: N802
+                url = urlparse(self.path)
+                if url.path != "/api/op":
+                    self._json({"ok": False, "error": "not found"}, 404)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length > _MAX_BODY:
+                        self._json({"ok": False,
+                                    "error": "request too large"}, 413)
+                        return
+                    raw = self.rfile.read(length)
+                    req = json.loads(raw.decode("utf-8"))
+                    if not isinstance(req, dict):
+                        raise ValueError("request body must be an object")
+                except (ValueError, UnicodeDecodeError) as exc:
+                    self._json({"ok": False, "error": f"bad json: {exc}"},
+                               400)
+                    return
+                try:
+                    self._json(ui.handle_op(req))
+                except Exception as exc:  # never kill the connection
+                    self._json({"ok": False, "error": str(exc)[:300]}, 500)
+
+        srv = ThreadingHTTPServer((self.host, self._requested_port), Handler)
+        srv.daemon_threads = True
+        self._server = srv
+        self._thread = threading.Thread(target=srv.serve_forever,
+                                        name="lut-tpu-webui", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        srv, self._server = self._server, None
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()

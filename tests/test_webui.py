@@ -1,0 +1,205 @@
+"""Web GUI tests: the HTTP shell over the serve daemon (app/webui.py).
+
+The page + JSON API are the browser analog of the reference's Qt main
+window (SURVEY §2.2 "Qt/PySide6 GUI shell"); these drive the API end to
+end — submit through render to completion, presets with the overwrite
+contract, LUT-history side effects, thumbnails, and transport errors.
+"""
+
+import json
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from lut_renderer_tpu.app.server import QueueServer
+from lut_renderer_tpu.app.webui import WebUI
+from lut_renderer_tpu.colorcore import Lut3D, write_cube_file
+from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+
+@pytest.fixture()
+def web(tmp_path):
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 64, fps=25.0, frames=6)
+    cube = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    server = QueueServer(tmp_path / "unused.sock", max_concurrency=2,
+                         lut_strategy="gather")
+    ui = WebUI(server, port=0, settings={})
+    ui.start()
+    yield ui, clip, cube, tmp_path
+    ui.stop()
+
+
+def _get(ui, path, raw=False):
+    with urllib.request.urlopen(ui.url.rstrip("/") + path, timeout=30) as r:
+        body = r.read()
+        return (r.headers.get("Content-Type"), body) if raw \
+            else json.loads(body)
+
+
+def _op(ui, req):
+    data = json.dumps(req).encode()
+    http_req = urllib.request.Request(
+        ui.url.rstrip("/") + "/api/op", data=data,
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(http_req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _wait_done(ui, task_ids, timeout=240):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        q = _get(ui, "/api/queue")
+        assert q["ok"]
+        by_id = {t["task_id"]: t for t in q["tasks"]}
+        if {by_id[t]["status"] for t in task_ids} <= {
+                "completed", "failed", "canceled"}:
+            return by_id
+        time.sleep(0.1)
+    raise AssertionError("queue did not drain")
+
+
+def test_index_page_and_meta(web):
+    ui, clip, cube, tmp = web
+    ctype, body = _get(ui, "/", raw=True)
+    assert ctype.startswith("text/html")
+    page = body.decode()
+    assert "LUT Renderer" in page and "/api/op" in page
+    meta = _get(ui, "/api/meta")
+    assert meta["ok"] and meta["concurrency"] == 2
+    fields = {f["name"]: f for f in meta["fields"]}
+    # the full ProcessingParams namespace is exposed, with per-field help
+    # (the reference's popup text) and both mode-template defaults
+    assert "video_codec" in fields and fields["video_codec"]["help"]
+    assert fields["faststart"]["bool"] is True
+    assert fields["processing_mode"]["pro"] == "pro"
+    assert fields["video_codec"]["fast"] != "libx264"  # available encoder
+
+
+def test_submit_render_info_thumb_and_lut_history(web):
+    ui, clip, cube, tmp = web
+    resp = _op(ui, {"op": "submit", "files": [str(clip)], "lut": str(cube),
+                    "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+                    "out_dir": str(tmp / "out")})
+    assert resp["ok"], resp
+    (tid,) = resp["task_ids"]
+    by_id = _wait_done(ui, [tid])
+    assert by_id[tid]["status"] == "completed"
+    assert Path(by_id[tid]["output"]).exists()
+    # the info view carries the runtime log tail (the reference's detail
+    # dialog content)
+    one = _get(ui, f"/api/task?id={tid}")
+    assert one["ok"] and one["task"]["progress"] == 100
+    assert any("engine:" in m for m in one["task"]["logs"])
+    # submitting with a LUT remembers it, exactly like Start
+    assert str(cube) in _get(ui, "/api/meta")["luts"]
+    # queue-table thumbnail for the task's source
+    ctype, body = _get(ui, f"/api/thumb?task={tid}", raw=True)
+    assert ctype.startswith("image/") and len(body) > 100
+    # reprocess through the same passthrough op the socket uses
+    rep = _op(ui, {"op": "reprocess", "task_id": tid,
+                   "params": {"lut_interp": "trilinear"}})
+    assert rep["ok"], rep
+    second = _wait_done(ui, [tid])[tid]
+    assert second["status"] == "completed"
+    assert second["output"] != by_id[tid]["output"]
+    cleared = _op(ui, {"op": "clear"})
+    assert cleared["ok"] and cleared["removed"] == 1
+
+
+def test_preset_save_load_overwrite_contract(web):
+    ui, clip, cube, tmp = web
+    params = {"video_codec": "mpeg4", "bitrate": "3M", "faststart": True}
+    assert _op(ui, {"op": "save_preset", "name": "webp",
+                    "params": params})["ok"]
+    assert "webp" in _get(ui, "/api/meta")["presets"]
+    # second save without overwrite follows the FileExistsError contract
+    again = _op(ui, {"op": "save_preset", "name": "webp", "params": params})
+    assert not again["ok"] and again["error"] == "exists"
+    params["bitrate"] = "4M"
+    assert _op(ui, {"op": "save_preset", "name": "webp", "params": params,
+                    "overwrite": True})["ok"]
+    loaded = _get(ui, "/api/preset?name=webp")
+    assert loaded["ok"] and loaded["params"]["bitrate"] == "4M"
+    assert loaded["params"]["faststart"] is True
+    assert not _get(ui, "/api/preset?name=ghost")["ok"]
+
+
+def test_page_script_consistency():
+    """No JS engine exists in this environment, so pin the failure class
+    that would silently kill the page: every DOM id the script references
+    must exist in the markup, every API path it fetches must be a served
+    route, and the script's delimiters must balance (template literals
+    excluded from the scan)."""
+    import re
+
+    from lut_renderer_tpu.app.webui_page import PAGE
+
+    markup, script = PAGE.split("<script>", 1)
+    script = script.split("</script>", 1)[0]
+    dom_ids = set(re.findall(r'id="([\w-]+)"', markup))
+    for ref in re.findall(r'\$\("([\w-]+)"\)', script):
+        assert ref in dom_ids, f"script references missing element #{ref}"
+    served = {"/api/meta", "/api/queue", "/api/task", "/api/preset",
+              "/api/thumb", "/api/op"}
+    for path in re.findall(r'"(/api/[\w/]*)', script):
+        assert path in served, f"script fetches unserved route {path}"
+    # dynamic ids built as "p_" + field must match the inputs buildForm makes
+    assert '"p_" + f.name' in script
+    # delimiter balance over the code outside string/template literals
+    # (small state machine: the page avoids JS regex literals and nested
+    # template literals so this scan stays exact)
+    assert "replaceAll" in script  # esc() must not use a regex literal
+    code, i, state, depth = [], 0, "code", 0
+    while i < len(script):
+        c = script[i]
+        if state in ("'", '"', "`"):
+            if c == "\\":
+                i += 2
+                continue
+            if state == "`" and c == "$" and script[i + 1:i + 2] == "{":
+                state, depth = "interp", 1
+                i += 2
+                continue
+            if c == state:
+                state = "code"
+        elif state == "interp":
+            assert c not in "'\"`", "string literal inside ${} unsupported"
+            depth += c == "{"
+            depth -= c == "}"
+            if depth == 0:
+                state = "`"
+            else:
+                code.append(c)
+        else:
+            if c in "'\"`":
+                state = c
+            else:
+                code.append(c)
+        i += 1
+    assert state == "code", f"unterminated {state} literal"
+    stripped = "".join(code)
+    for o, c in ("()", "[]", "{}"):
+        assert stripped.count(o) == stripped.count(c), f"unbalanced {o}{c}"
+
+
+def test_transport_and_protocol_errors(web):
+    ui, clip, cube, tmp = web
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(ui, "/nope")
+    assert err.value.code == 404
+    bad = urllib.request.Request(ui.url.rstrip("/") + "/api/op",
+                                 data=b"{bad json", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(bad, timeout=30)
+    assert err.value.code == 400
+    assert "bad json" in json.loads(err.value.read())["error"]
+    # protocol-level errors are 200 + ok:false (same as the socket)
+    assert not _op(ui, {"op": "nope"})["ok"]
+    assert not _op(ui, {"op": "submit", "files": []})["ok"]
+    assert not _get(ui, "/api/task?id=ghost")["ok"]
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(ui, "/api/thumb?task=ghost")
+    assert err.value.code == 404
