@@ -19,6 +19,9 @@ Protocol: JSON lines (one request object per line, one response per line).
                                           decision notes, stage progress,
                                           errors — what the CLI prints)
   {"op": "cancel", "task_id": "..."}   -> {"ok": true}
+  {"op": "config", "concurrency": N}   -> {"ok": true, "concurrency": N}
+                                          (live, clamped to the reference's
+                                          1-16 spinner range)
   {"op": "ping"}                       -> {"ok": true, "tasks": N}
   {"op": "shutdown"}                   -> {"ok": true} then the server stops
                                           accepting; running tasks cancel
@@ -125,6 +128,18 @@ class QueueServer:
             before = len(self.manager.tasks)
             self.manager.clear_completed()
             return {"ok": True, "removed": before - len(self.manager.tasks)}
+        if op == "config":
+            # live queue reconfiguration — the reference's concurrency
+            # spinner applies immediately (main_window.py:856-860, UI range
+            # 1-16); out-of-range values clamp like the spinner would
+            if "concurrency" in req:
+                try:
+                    value = int(req["concurrency"])
+                except (TypeError, ValueError):
+                    return {"ok": False,
+                            "error": "concurrency must be an integer"}
+                self.manager.set_max_concurrency(max(1, min(16, value)))
+            return {"ok": True, "concurrency": self.manager._max}
         if op == "shutdown":
             self.shutdown_requested.set()
             for task_id in list(self.manager.tasks):

@@ -169,6 +169,20 @@ class WebUI:
             return None
         return Path(path).read_bytes()
 
+    _FILE_KINDS = ("output", "cover")
+
+    def _file(self, task_id: str, kind: str):
+        """Rendered-artifact download (the web analog of the reference's
+        per-row open-output button, main_window.py row actions). Serves
+        ONLY the task's own output/cover path — never an arbitrary path."""
+        task = self.queue.manager.tasks.get(task_id)
+        if task is None or kind not in self._FILE_KINDS:
+            return None
+        path = task.output_path if kind == "output" else task.cover_path
+        if path is None or not Path(path).exists():
+            return None
+        return Path(path)
+
     # -- http plumbing --------------------------------------------------------
     @property
     def port(self) -> int:
@@ -222,6 +236,29 @@ class WebUI:
                                         "error": "no thumbnail"}, 404)
                         else:
                             self._send(200, data, "image/jpeg")
+                    elif url.path == "/api/file":
+                        path = ui._file(q.get("task", [""])[0],
+                                        q.get("kind", ["output"])[0])
+                        if path is None:
+                            self._json({"ok": False,
+                                        "error": "no such artifact"}, 404)
+                        else:
+                            import mimetypes
+                            import shutil
+
+                            ctype = (mimetypes.guess_type(path.name)[0]
+                                     or "application/octet-stream")
+                            self.send_response(200)
+                            self.send_header("Content-Type", ctype)
+                            self.send_header(
+                                "Content-Disposition",
+                                f'attachment; filename="{path.name}"')
+                            self.send_header("Content-Length",
+                                             str(path.stat().st_size))
+                            self.end_headers()
+                            # stream: finished masters/outputs can be GBs
+                            with path.open("rb") as f:
+                                shutil.copyfileobj(f, self.wfile, 1 << 20)
                     else:
                         self._json({"ok": False, "error": "not found"}, 404)
                 except Exception as exc:  # never kill the connection

@@ -39,6 +39,14 @@ button:hover { border-color:var(--teal); }
 button.primary { background:var(--teal); border-color:var(--teal);
                  color:#06211e; font-weight:600; }
 button.danger:hover { border-color:var(--red); color:var(--red); }
+.conc { display:flex; align-items:center; gap:6px; color:var(--dim);
+        font-size:12px; }
+.conc input { width:56px; background:var(--panel2); color:var(--text);
+  border:1px solid var(--line); border-radius:4px; padding:4px 6px; }
+a.dl { color:var(--teal); font-size:12px; text-decoration:none;
+       border:1px solid var(--line); border-radius:4px; padding:4px 8px;
+       display:inline-block; }
+a.dl:hover { border-color:var(--teal); }
 main { display:grid; grid-template-columns:minmax(330px,430px) 1fr;
        gap:14px; padding:14px 18px; align-items:start; }
 section { background:var(--panel); border:1px solid var(--line);
@@ -107,6 +115,8 @@ td .bar { width:120px; }
   <span class="ver" id="ver"></span>
   <div id="agg"><div class="bar"><div id="aggfill"></div></div>
     <span id="aggpct" class="ver">0%</span></div>
+  <label class="conc">concurrency
+    <input type="number" id="conc" min="1" max="16" value="1"></label>
   <button id="clear">Clear completed</button>
   <button id="shutdown" class="danger">Shutdown</button>
 </header>
@@ -217,7 +227,8 @@ function collectParams() {
 }
 function fillMeta(m) {
   META = m;
-  $("ver").textContent = "v" + m.version + " · concurrency " + m.concurrency;
+  $("ver").textContent = "v" + m.version;
+  $("conc").value = m.concurrency;
   $("lutlist").innerHTML = m.luts.map(l =>
     `<option value="${esc(l)}">`).join("");
   const sel = $("preset");
@@ -236,9 +247,12 @@ function esc(s) {
 function chip(status) { return `<span class="chip ${status}">${status}</span>`; }
 function row(t) {
   const running = t.status === "pending" || t.status === "running";
-  const btns = running
+  let btns = running
     ? `<button data-act="cancel" data-id="${t.task_id}">Cancel</button>`
     : `<button data-act="reprocess" data-id="${t.task_id}">Reprocess</button>`;
+  if (t.status === "completed")
+    btns += ` <a class="dl" href="/api/file?task=${t.task_id}"
+               download>Output</a>`;
   const err = t.error
     ? '<div class="err">' + esc(t.error) + '</div>' : "";
   return `<tr>
@@ -329,6 +343,13 @@ $("clear").onclick = async () => {
   const r = await op({op: "clear"});
   if (r.ok) note(`removed ${r.removed} finished task(s)`);
   lastQueueJson = ""; pollQueue();
+};
+$("conc").onchange = async () => {
+  const r = await op({op: "config",
+                      concurrency: parseInt($("conc").value, 10) || 1});
+  if (r.ok) { $("conc").value = r.concurrency;
+              note("concurrency set to " + r.concurrency); }
+  else note(r.error, true);
 };
 $("shutdown").onclick = async () => {
   if (!confirm("Shut down the render daemon?")) return;

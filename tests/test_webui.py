@@ -98,6 +98,16 @@ def test_submit_render_info_thumb_and_lut_history(web):
     # queue-table thumbnail for the task's source
     ctype, body = _get(ui, f"/api/thumb?task={tid}", raw=True)
     assert ctype.startswith("image/") and len(body) > 100
+    # output download (the web analog of the per-row open-output button)
+    ctype, body = _get(ui, f"/api/file?task={tid}", raw=True)
+    assert body == Path(by_id[tid]["output"]).read_bytes()
+    assert ctype.startswith("video/")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(ui, f"/api/file?task={tid}&kind=cover")  # no cover requested
+    assert err.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(ui, f"/api/file?task={tid}&kind=../etc")  # only known kinds
+    assert err.value.code == 404
     # reprocess through the same passthrough op the socket uses
     rep = _op(ui, {"op": "reprocess", "task_id": tid,
                    "params": {"lut_interp": "trilinear"}})
@@ -107,6 +117,22 @@ def test_submit_render_info_thumb_and_lut_history(web):
     assert second["output"] != by_id[tid]["output"]
     cleared = _op(ui, {"op": "clear"})
     assert cleared["ok"] and cleared["removed"] == 1
+
+
+def test_live_concurrency_config(web):
+    """The reference's concurrency spinner applies live (main_window.py:
+    856-860, range 1-16); the config op is its daemon/web analog."""
+    ui, clip, cube, tmp = web
+    r = _op(ui, {"op": "config", "concurrency": 5})
+    assert r["ok"] and r["concurrency"] == 5
+    assert ui.queue.manager._max == 5
+    assert _get(ui, "/api/meta")["concurrency"] == 5
+    # clamps to the spinner range, rejects non-integers
+    assert _op(ui, {"op": "config", "concurrency": 99})["concurrency"] == 16
+    assert _op(ui, {"op": "config", "concurrency": 0})["concurrency"] == 1
+    assert not _op(ui, {"op": "config", "concurrency": "many"})["ok"]
+    # config with nothing to set is a no-op report
+    assert _op(ui, {"op": "config"})["concurrency"] == 1
 
 
 def test_preset_save_load_overwrite_contract(web):
@@ -143,7 +169,7 @@ def test_page_script_consistency():
     for ref in re.findall(r'\$\("([\w-]+)"\)', script):
         assert ref in dom_ids, f"script references missing element #{ref}"
     served = {"/api/meta", "/api/queue", "/api/task", "/api/preset",
-              "/api/thumb", "/api/op"}
+              "/api/thumb", "/api/file", "/api/op"}
     for path in re.findall(r'"(/api/[\w/]*)', script):
         assert path in served, f"script fetches unserved route {path}"
     # dynamic ids built as "p_" + field must match the inputs buildForm makes
