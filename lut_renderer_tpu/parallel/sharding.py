@@ -40,13 +40,24 @@ def make_sharded_render_fn(
     cfg: RenderConfig,
     mesh: Mesh,
     interpret: bool = False,
+    chain: int = 1,
 ):
     """Jitted render step over a mesh: batch axis sharded, LUT replicated.
 
     Inputs: y (B, H, W), u/v (B, Hc, Wc) with B a multiple of the mesh size.
     Frames are independent -> out_specs mirror in_specs and XLA inserts no
     collectives; scaling rides ICI-local HBM only.
+
+    chain > 1 runs the step that many times inside one dispatch with the
+    output feeding the next input (lax.scan) — the device-resident
+    measurement methodology bench.py uses, here for the sharded program:
+    the per-dispatch host sync tax amortizes over chain*batch frames so
+    the timed figure is the kernel rate, not the tunnel's. Requires a
+    feed-back-compatible config (same depth and subsampling in/out).
     """
+    if chain > 1 and (cfg.in_depth != cfg.out_depth
+                      or cfg.in_subsampling != cfg.out_subsampling):
+        raise ValueError("chain>1 needs output geometry == input geometry")
     spec = P(FRAME_AXIS)
     from ..ops.render import lut_operands_for
 
@@ -78,6 +89,17 @@ def make_sharded_render_fn(
             out_specs=(spec, spec, spec),
             check_rep=False,
         )
+    if chain > 1:
+        inner = sharded
+
+        def sharded(y, u, v, ops):  # noqa: F811 - chained wrapper
+            def body(carry, _):
+                yy, uu, vv = carry
+                return inner(yy, uu, vv, ops), None
+
+            (y, u, v), _ = jax.lax.scan(body, (y, u, v), None, length=chain)
+            return y, u, v
+
     jitted = jax.jit(sharded)
     ops_dev = (None if ops_np is None else jax.device_put(
         ops_np, NamedSharding(mesh, P())))

@@ -45,6 +45,26 @@ def test_sharded_matches_single_device(mesh, rng, random_lut):
         assert (diff > 0).mean() < 1e-3
 
 
+def test_sharded_chain_matches_two_applications(mesh, rng, random_lut):
+    """chain=2 (the device-resident measurement mode: lax.scan inside one
+    sharded dispatch, output feeding input) equals applying the sharded
+    step twice; geometry-changing configs are rejected up front."""
+    prep = prepare_lut(random_lut)
+    cfg = RenderConfig(interp="tetrahedral", lut_strategy="gather")
+    y, u, v = _inputs(rng, shard_batch_size(mesh))
+    fn1 = make_sharded_render_fn(prep, cfg, mesh)
+    fn2 = make_sharded_render_fn(prep, cfg, mesh, chain=2)
+    ys, us, vs = put_sharded(mesh, y, u, v)
+    want = fn1(*fn1(ys, us, vs))
+    got = fn2(ys, us, vs)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+    with pytest.raises(ValueError, match="chain"):
+        make_sharded_render_fn(
+            prep, RenderConfig(in_depth=10, out_depth=8, interp="trilinear"),
+            mesh, chain=2)
+
+
 @pytest.mark.parametrize(
     "size,precision,depth",
     [
