@@ -275,9 +275,11 @@ lut-tpu serve --socket PATH [--http PORT] [--warmup] [--concurrency N]
   production program set first (one-time per machine via the persistent
   cache). --http PORT additionally serves the web GUI — the browser
   analog of the reference's main window: full parameter panel with
-  per-field help, LUT history, presets, live queue table with progress/
-  cancel/reprocess/info. Binds 127.0.0.1 by default; the trust model
-  matches the socket (clients submit server-side paths).""",
+  per-field help, LUT library (incl. uploading a .cube from the browser
+  to the daemon machine), presets, live concurrency, live queue table
+  with progress/cancel/reprocess/info/output download. Binds 127.0.0.1
+  by default; the trust model matches the socket (clients submit
+  server-side paths).""",
     "queue": """\
 queue persistence
   --save-queue FILE writes the queue state (tasks, params, status) as

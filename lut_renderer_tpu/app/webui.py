@@ -46,7 +46,12 @@ from .. import __version__
 from ..models import ProcessingParams
 from .defaults import mode_template
 from .help import help_text
-from .lut_history import last_lut, lut_history, remember_lut
+from .lut_history import (
+    cleanup_lut_history,
+    last_lut,
+    lut_history,
+    remember_lut,
+)
 from .presets import (
     PresetError,
     PresetExistsError,
@@ -58,7 +63,9 @@ from .presets import (
 from .server import QueueServer
 from .webui_page import PAGE
 
-_MAX_BODY = 4 << 20  # a submit request is small; cap abuse
+# Body cap sized for LUT uploads: a 65^3 .cube is ~8 MB of text (129^3,
+# the largest supported size, ~64 MB); everything else is tiny.
+_MAX_BODY = 96 << 20
 
 
 def _field_schema() -> list:
@@ -145,11 +152,76 @@ class WebUI:
         except (PresetError, OSError, ValueError) as exc:
             return {"ok": False, "error": str(exc)}
 
+    # -- LUT manager (reference LutManagerDialog, lut_manager.py:26-186) ----
+    def _luts_view(self) -> dict:
+        return {"ok": True,
+                "luts": [{"path": p, "exists": Path(p).exists()}
+                         for p in lut_history(self.settings)],
+                "last": last_lut(self.settings)}
+
+    def _select_lut(self, path: str) -> dict:
+        # set-current moves the path to the history head (reference
+        # lut_manager.py set-current semantics); require the file so the
+        # form can't be primed with a path submit would reject anyway
+        if not path or not Path(path).exists():
+            return {"ok": False, "error": f"LUT not found: {path}"}
+        self.settings = remember_lut(path, self.settings,
+                                     persist=self._persist_settings)
+        return self._luts_view()
+
+    def _clean_luts(self) -> dict:
+        before = len(lut_history(self.settings))
+        self.settings = cleanup_lut_history(self.settings,
+                                            persist=self._persist_settings)
+        view = self._luts_view()
+        view["removed"] = before - len(view["luts"])
+        return view
+
+    def _upload_lut(self, req: dict) -> dict:
+        """Browser-side .cube upload: the remote-serving analog of the
+        reference's add-LUT file dialog (the daemon usually isn't the
+        machine with the files). Validates by parsing before saving."""
+        from ..colorcore import parse_cube
+        from ..colorcore.cube import CubeParseError
+        from .settings import _config_root
+
+        name = Path(str(req.get("name") or "")).name  # basename only
+        if not name.endswith(".cube") or name == ".cube":
+            return {"ok": False, "error": "name must be a .cube filename"}
+        text = req.get("text") or ""
+        try:
+            lut = parse_cube(text, name)
+        except CubeParseError as exc:
+            return {"ok": False, "error": str(exc)}
+        dest_dir = _config_root() / "luts"
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        dest = dest_dir / name
+        if dest.exists() and not req.get("overwrite"):
+            stem, i = dest.stem, 1  # anti-collision, like output naming
+            while dest.exists():
+                dest = dest_dir / f"{stem}_{i}.cube"
+                i += 1
+        dest.write_text(text)
+        self.settings = remember_lut(dest, self.settings,
+                                     persist=self._persist_settings)
+        view = self._luts_view()
+        view.update(path=str(dest), size=lut.size)
+        return view
+
     def handle_op(self, req: dict) -> dict:
         """POST /api/op entry: app-layer ops first, everything else is the
         socket protocol verbatim."""
-        if req.get("op") == "save_preset":
+        op = req.get("op")
+        if op == "save_preset":
             return self._save_preset(req)
+        if op == "luts":
+            return self._luts_view()
+        if op == "select_lut":
+            return self._select_lut(str(req.get("path") or ""))
+        if op == "clean_luts":
+            return self._clean_luts()
+        if op == "upload_lut":
+            return self._upload_lut(req)
         resp = self.queue.handle_request(req)
         if (req.get("op") == "submit" and resp.get("ok")
                 and req.get("lut")):

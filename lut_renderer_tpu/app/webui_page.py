@@ -100,12 +100,20 @@ td .bar { width:120px; }
         white-space:nowrap; }
 .err { color:var(--red); font-size:12px; }
 .empty { color:var(--dim); padding:18px 8px; }
-#modal { position:fixed; inset:0; background:rgba(0,0,0,.6); display:flex;
-         align-items:center; justify-content:center; z-index:20; }
-#modalcard { background:var(--panel); border:1px solid var(--teal2);
-             border-radius:8px; padding:14px 16px; width:min(720px,90vw);
-             max-height:85vh; overflow:auto; }
-#modalcard pre { max-height:50vh; }
+.overlay { position:fixed; inset:0; background:rgba(0,0,0,.6); display:flex;
+           align-items:center; justify-content:center; z-index:20; }
+.overlay .card { background:var(--panel); border:1px solid var(--teal2);
+                 border-radius:8px; padding:14px 16px;
+                 width:min(720px,90vw); max-height:85vh; overflow:auto; }
+.overlay pre { max-height:50vh; }
+.lutrow { display:flex; align-items:center; gap:10px; padding:5px 2px;
+          border-bottom:1px solid var(--line); font-size:12px; }
+.lutrow .lpath { flex:1; overflow:hidden; text-overflow:ellipsis;
+                 white-space:nowrap; font-family:ui-monospace,Menlo,
+                 Consolas,monospace; }
+.lutrow .ok { color:var(--green); }
+.lutrow .missing { color:var(--red); }
+input[type=file] { color:var(--dim); font-size:12px; width:100%; }
 [hidden] { display:none !important; }
 </style>
 </head>
@@ -125,9 +133,12 @@ td .bar { width:120px; }
   <h2>Add tasks</h2>
   <label>Source files — server paths, one per line
     <textarea id="files" placeholder="/data/clips/a.mp4"></textarea></label>
-  <label>LUT (.cube) — picks from history
-    <input type="text" id="lut" list="lutlist" placeholder="none">
-    <datalist id="lutlist"></datalist></label>
+  <label>LUT (.cube) — picks from history</label>
+  <div class="row">
+    <div><input type="text" id="lut" list="lutlist" placeholder="none">
+      <datalist id="lutlist"></datalist></div>
+    <button id="lutmanage" type="button">Manage</button>
+  </div>
   <div class="row">
     <div><label>Output dir (blank = &lt;src&gt;/output)
       <input type="text" id="outdir"></label></div>
@@ -163,10 +174,20 @@ td .bar { width:120px; }
   </table>
 </section>
 </main>
-<div id="modal" hidden><div id="modalcard">
+<div id="modal" class="overlay" hidden><div class="card">
   <div class="row"><h2 id="modaltitle" style="flex:1">Task</h2>
     <button id="modalclose">close</button></div>
   <pre id="modalbody"></pre>
+</div></div>
+<div id="lutsmodal" class="overlay" hidden><div class="card">
+  <div class="row"><h2 style="flex:1">LUT library</h2>
+    <button id="lutsclose">close</button></div>
+  <div class="row">
+    <div><input type="file" id="lutfile" accept=".cube"></div>
+    <button id="lutupload">Upload</button>
+    <button id="lutclean">Clean invalid</button>
+  </div>
+  <div id="lutslist"></div>
 </div></div>
 <script>
 "use strict";
@@ -343,6 +364,44 @@ $("clear").onclick = async () => {
   const r = await op({op: "clear"});
   if (r.ok) note(`removed ${r.removed} finished task(s)`);
   lastQueueJson = ""; pollQueue();
+};
+async function refreshLuts() {
+  const r = await op({op: "luts"});
+  if (!r.ok) { note(r.error, true); return; }
+  $("lutslist").innerHTML = r.luts.map(l => {
+    const mark = l.exists ? "ok" : "missing";
+    const glyph = l.exists ? "✓" : "✗";
+    const p = esc(l.path);
+    return `<div class="lutrow"><span class="${mark}">${glyph}</span>` +
+           `<span class="lpath">${p}</span>` +
+           `<button data-use="${p}">Use</button></div>`;
+  }).join("") || '<div class="empty">history is empty</div>';
+}
+$("lutmanage").onclick = () => { $("lutsmodal").hidden = false;
+                                 refreshLuts(); };
+$("lutsclose").onclick = () => { $("lutsmodal").hidden = true; };
+$("lutslist").addEventListener("click", async ev => {
+  const b = ev.target.closest("button"); if (!b) return;
+  const r = await op({op: "select_lut", path: b.dataset.use});
+  if (r.ok) { $("lut").value = b.dataset.use; $("lutsmodal").hidden = true;
+              note("LUT selected"); refreshMeta(); }
+  else note(r.error, true);
+});
+$("lutclean").onclick = async () => {
+  const r = await op({op: "clean_luts"});
+  if (r.ok) { note("removed " + r.removed + " stale history entries");
+              refreshLuts(); refreshMeta(); }
+  else note(r.error, true);
+};
+$("lutupload").onclick = async () => {
+  const f = $("lutfile").files[0];
+  if (!f) { note("choose a .cube file first", true); return; }
+  const text = await f.text();
+  const r = await op({op: "upload_lut", name: f.name, text});
+  if (r.ok) { $("lut").value = r.path;
+              note("uploaded " + r.path + " (" + r.size + "³)");
+              refreshLuts(); refreshMeta(); }
+  else note(r.error, true);
 };
 $("conc").onchange = async () => {
   const r = await op({op: "config",

@@ -153,6 +153,55 @@ def test_preset_save_load_overwrite_contract(web):
     assert not _get(ui, "/api/preset?name=ghost")["ok"]
 
 
+def test_lut_manager_ops(web):
+    """The LutManagerDialog analog (reference lut_manager.py:26-186):
+    browser upload (parse-validated, anti-collision, traversal-proof),
+    set-current moves to head, clean drops vanished files."""
+    ui, clip, cube, tmp = web
+    text = Path(cube).read_text()
+    r = _op(ui, {"op": "upload_lut", "name": "look.cube", "text": text})
+    assert r["ok"] and r["path"].endswith("look.cube"), r
+    assert r["size"] == 5
+    assert Path(r["path"]).read_text() == text
+    # collision gets a counter suffix unless overwrite is set
+    r2 = _op(ui, {"op": "upload_lut", "name": "look.cube", "text": text})
+    assert r2["ok"] and r2["path"].endswith("look_1.cube")
+    r3 = _op(ui, {"op": "upload_lut", "name": "look.cube", "text": text,
+                  "overwrite": True})
+    assert r3["ok"] and r3["path"] == r["path"]
+    # names reduce to their basename (no directory traversal)
+    evil = _op(ui, {"op": "upload_lut", "name": "../../evil.cube",
+                    "text": text})
+    assert evil["ok"] and "/luts/evil.cube" in evil["path"]
+    # invalid name / unparseable content are rejected before any write
+    assert not _op(ui, {"op": "upload_lut", "name": "x.txt",
+                        "text": text})["ok"]
+    assert not _op(ui, {"op": "upload_lut", "name": "bad.cube",
+                        "text": "LUT_3D_SIZE 2\n0 0 0"})["ok"]
+    # history view: newest upload at the head, existence flags
+    view = _op(ui, {"op": "luts"})
+    assert view["ok"] and view["luts"][0]["path"] == evil["path"]
+    assert all(l["exists"] for l in view["luts"])
+    # set-current moves an existing path to the head; missing is an error
+    assert _op(ui, {"op": "select_lut", "path": str(cube)})["ok"]
+    assert _op(ui, {"op": "luts"})["luts"][0]["path"] == str(cube)
+    assert not _op(ui, {"op": "select_lut", "path": "/missing.cube"})["ok"]
+    # clean drops entries whose files no longer exist
+    gone = _op(ui, {"op": "upload_lut", "name": "gone.cube", "text": text})
+    Path(gone["path"]).unlink()
+    cleaned = _op(ui, {"op": "clean_luts"})
+    assert cleaned["ok"] and cleaned["removed"] == 1
+    assert all(l["exists"] for l in cleaned["luts"])
+    # an uploaded LUT renders end-to-end
+    resp = _op(ui, {"op": "submit", "files": [str(clip)],
+                    "lut": r3["path"],
+                    "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+                    "out_dir": str(tmp / "outu")})
+    assert resp["ok"], resp
+    done = _wait_done(ui, resp["task_ids"])
+    assert all(t["status"] == "completed" for t in done.values())
+
+
 def test_page_script_consistency():
     """No JS engine exists in this environment, so pin the failure class
     that would silently kill the page: every DOM id the script references
