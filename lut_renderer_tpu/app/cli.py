@@ -554,7 +554,13 @@ def cmd_serve(args) -> int:
               "(persistent cache makes this one-time per machine):")
         warmup_programs(log=lambda m: print("  " + m))
     server = QueueServer(args.socket, max_concurrency=args.concurrency,
-                         lut_strategy=args.lut_strategy)
+                         lut_strategy=args.lut_strategy,
+                         queue_file=getattr(args, "queue_file", None))
+    if server.restore_error:
+        print(f"warning: {server.restore_error}", file=sys.stderr)
+    elif server.queue_file and server.manager.tasks:
+        print(f"restored {len(server.manager.tasks)} task(s) from "
+              f"{server.queue_file}")
     server.start()
     web = None
     if getattr(args, "http", None) is not None:
@@ -779,6 +785,10 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--http-host", default="127.0.0.1",
                        help="web GUI bind address (default 127.0.0.1; the "
                             "trust model matches the Unix socket)")
+    serve.add_argument("--queue-file", metavar="PATH",
+                       help="durable queue: restore on start (interrupted "
+                            "tasks resume as pending) and persist on every "
+                            "state change — daemon crash/restart recovery")
     serve.add_argument("--lut-strategy", choices=["mxu", "gather"],
                        default="mxu", help=argparse.SUPPRESS)
     serve.set_defaults(fn=cmd_serve)

@@ -267,7 +267,7 @@ kernel precision (automatic)
   row's task, 'a' cancels all unfinished, 'q' leaves the monitor (the
   queue keeps running). The headless analog of the reference's window.""",
     "serve": """\
-lut-tpu serve --socket PATH [--http PORT] [--warmup] [--concurrency N]
+lut-tpu serve --socket PATH [--http PORT] [--queue-file PATH] [--warmup]
   Warm render daemon: one process owns the chip and keeps the compiled
   programs and prepared LUTs resident, so a job costs render time instead
   of process startup + compile. Jobs arrive as JSON lines over the Unix
@@ -279,7 +279,11 @@ lut-tpu serve --socket PATH [--http PORT] [--warmup] [--concurrency N]
   to the daemon machine), presets, live concurrency, live queue table
   with progress/cancel/reprocess/info/output download. Binds 127.0.0.1
   by default; the trust model matches the socket (clients submit
-  server-side paths).""",
+  server-side paths). --queue-file makes the queue durable: it persists
+  atomically on every state change, and a restarted daemon restores it
+  — interrupted tasks come back pending and resume automatically
+  (crash/restart recovery; an unreadable file is reported and moved
+  aside as .corrupt).""",
     "queue": """\
 queue persistence
   --save-queue FILE writes the queue state (tasks, params, status) as

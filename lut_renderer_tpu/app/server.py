@@ -61,7 +61,7 @@ class QueueServer:
     """Owns a TaskManager and serves the JSON-lines protocol."""
 
     def __init__(self, socket_path, max_concurrency: int = 1,
-                 lut_strategy: str = "mxu"):
+                 lut_strategy: str = "mxu", queue_file=None):
         self.socket_path = Path(socket_path)
         self.manager = TaskManager(max_concurrency=max_concurrency,
                                    lut_strategy=lut_strategy)
@@ -69,11 +69,50 @@ class QueueServer:
         self._server: Optional[socketserver.ThreadingUnixStreamServer] = None
         self._thread: Optional[threading.Thread] = None
         self.shutdown_requested = threading.Event()
+        self._draining = False
         # Per-task runtime log tail (policy decision notes, stage progress,
         # errors) so daemon clients can read the notes the CLI prints — the
         # reference surfaces these in its task detail dialog. Bounded.
         self._task_logs: dict = {}
         self.manager.task_log.connect(self._record_log)
+        # Optional durable queue: restore on start (interrupted RUNNING
+        # entries come back PENDING and resume), persist atomically on
+        # every task state change — daemon restart/crash recovery for the
+        # serving deployment (the reference's in-memory queue dies with
+        # the app; SURVEY §5.4). The CLI analog is `render --save-queue`
+        # + `resume`.
+        self.queue_file = Path(queue_file) if queue_file else None
+        self.restore_error = ""
+        self._persist_lock = threading.Lock()
+        if self.queue_file is not None:
+            if self.queue_file.exists():
+                try:
+                    restored = self.manager.load_queue(self.queue_file)
+                except Exception as exc:
+                    self.restore_error = f"queue restore failed: {exc}"[:300]
+                    # keep the evidence: later persists must not overwrite
+                    # the unreadable file
+                    try:
+                        self.queue_file.replace(
+                            self.queue_file.with_name(
+                                self.queue_file.name + ".corrupt"))
+                    except OSError:
+                        pass
+                else:
+                    if restored:
+                        self.manager.start_all()
+            self.manager.task_added.connect(lambda *_: self._persist())
+            self.manager.task_updated.connect(lambda *_: self._persist())
+            self.manager.queue_finished.connect(lambda *_: self._persist())
+
+    def _persist(self) -> None:
+        if self.queue_file is None:
+            return
+        with self._persist_lock:
+            try:
+                self.manager.save_queue(self.queue_file)
+            except OSError:
+                pass  # disk hiccup: next state change retries
 
     _LOG_TAIL = 200
 
@@ -87,7 +126,10 @@ class QueueServer:
     def handle_request(self, req: dict) -> dict:
         op = req.get("op")
         if op == "ping":
-            return {"ok": True, "tasks": len(self.manager.tasks)}
+            out = {"ok": True, "tasks": len(self.manager.tasks)}
+            if self.restore_error:
+                out["restore_error"] = self.restore_error
+            return out
         if op == "submit":
             return self._submit(req)
         if op == "status":
@@ -141,15 +183,26 @@ class QueueServer:
                 self.manager.set_max_concurrency(max(1, min(16, value)))
             return {"ok": True, "concurrency": self.manager._max}
         if op == "shutdown":
-            self.shutdown_requested.set()
+            # refuse new work at once, but DEFER the shutdown signal: the
+            # CLI daemon os._exit()s as soon as wait() wakes, and setting
+            # the event here raced the handler's response write — the
+            # reply was observably lost in a live drive
+            self._draining = True
             for task_id in list(self.manager.tasks):
                 self.manager.cancel_task(task_id)
-            threading.Thread(target=self.stop, daemon=True).start()
+
+            def _go():
+                self.shutdown_requested.set()
+                self.stop()
+
+            timer = threading.Timer(0.2, _go)
+            timer.daemon = True
+            timer.start()
             return {"ok": True}
         return {"ok": False, "error": f"unknown op {op!r}"}
 
     def _submit(self, req: dict) -> dict:
-        if self.shutdown_requested.is_set():
+        if self._draining or self.shutdown_requested.is_set():
             return {"ok": False, "error": "server is shutting down"}
         files = [Path(f) for f in req.get("files", [])]
         if not files:
@@ -233,6 +286,7 @@ class QueueServer:
         self._thread.start()
 
     def stop(self) -> None:
+        self._persist()  # final state (no-op without a queue file)
         with self._lock:  # shutdown-op thread and owner may both call stop
             srv, self._server = self._server, None
         if srv is not None:

@@ -15,6 +15,7 @@ main_window.py:210)."""
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from collections import deque
@@ -242,10 +243,14 @@ class TaskManager:
                     "progress": task.progress,
                     "error": task.error,
                 })
-        _P(path).write_text(
+        # atomic: a crash mid-write must never corrupt the recovery file
+        target = _P(path)
+        tmp = target.with_name(target.name + ".tmp")
+        tmp.write_text(
             json.dumps({"version": 1, "tasks": items}, indent=2),
             encoding="utf-8",
         )
+        os.replace(tmp, target)
 
     def load_queue(self, path, probe: bool = True) -> int:
         """Restore tasks from a saved queue file. RUNNING entries come back

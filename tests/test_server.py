@@ -95,7 +95,10 @@ def test_serve_shutdown_cancels_and_refuses(served):
     server, sock, clip, cube, tmp = served
     resp = request(sock, {"op": "shutdown"})
     assert resp["ok"]
-    assert server.shutdown_requested.is_set()
+    # submits are refused at once; the public event follows the short
+    # response-flush grace period (see handle_request's shutdown branch)
+    assert not request(sock, {"op": "submit", "files": [str(clip)]})["ok"]
+    assert server.shutdown_requested.wait(5)
     server.wait()  # returns: queue drained
 
 
@@ -180,6 +183,63 @@ def test_serve_concurrent_clients(served):
     for t in threads:
         t.join(timeout=60)
     assert not errors
+
+
+def test_serve_queue_file_restart_recovery(tmp_path):
+    """serve --queue-file: every state change persists atomically, and a
+    restarted daemon resumes interrupted (RUNNING) tasks to completion —
+    the serving-deployment recovery affordance (SURVEY §5.4; the
+    reference's in-memory queue dies with the app)."""
+    clip = make_gradient_clip(tmp_path / "c.mp4", 64, 48, frames=4)
+    cube = write_cube_file(tmp_path / "l.cube", Lut3D.identity(5))
+    qf = tmp_path / "queue.json"
+    sock = tmp_path / "a.sock"
+    server = QueueServer(sock, max_concurrency=1, lut_strategy="gather",
+                         queue_file=qf)
+    server.start()
+    resp = request(sock, {"op": "submit", "files": [str(clip)],
+                          "lut": str(cube),
+                          "params": {"video_codec": "mpeg4",
+                                     "bitrate": "1M"},
+                          "out_dir": str(tmp_path / "out")})
+    assert resp["ok"], resp
+    (tid,) = resp["task_ids"]
+    _wait_done(sock, [tid])
+    server.stop()
+    saved = json.loads(qf.read_text())
+    assert saved["tasks"][0]["status"] == "completed"
+    # simulate a crash mid-run: the persisted state says RUNNING
+    saved["tasks"][0]["status"] = "running"
+    saved["tasks"][0]["progress"] = 37
+    qf.write_text(json.dumps(saved))
+    sock2 = tmp_path / "b.sock"
+    server2 = QueueServer(sock2, max_concurrency=1, lut_strategy="gather",
+                          queue_file=qf)
+    server2.start()
+    try:
+        assert not server2.restore_error
+        by_id = _wait_done(sock2, [tid])
+        assert by_id[tid]["status"] == "completed"  # auto-resumed
+        assert json.loads(qf.read_text())["tasks"][0]["status"] == "completed"
+    finally:
+        server2.stop()
+
+
+def test_serve_queue_file_corrupt_preserved(tmp_path):
+    """An unreadable queue file is reported on ping and moved aside
+    (.corrupt) so the daemon's fresh persists cannot destroy evidence."""
+    qf = tmp_path / "queue.json"
+    qf.write_text("{broken")
+    server = QueueServer(tmp_path / "c.sock", lut_strategy="gather",
+                         queue_file=qf)
+    server.start()
+    try:
+        resp = request(tmp_path / "c.sock", {"op": "ping"})
+        assert "restore failed" in resp.get("restore_error", "")
+        assert (tmp_path / "queue.json.corrupt").read_text() == "{broken"
+        assert not qf.exists()
+    finally:
+        server.stop()
 
 
 def test_submit_without_codec_gets_available_encoder(tmp_path):
