@@ -181,7 +181,7 @@ class QueueServer:
                     return {"ok": False,
                             "error": "concurrency must be an integer"}
                 self.manager.set_max_concurrency(max(1, min(16, value)))
-            return {"ok": True, "concurrency": self.manager._max}
+            return {"ok": True, "concurrency": self.manager.max_concurrency}
         if op == "shutdown":
             # refuse new work at once, but DEFER the shutdown signal: the
             # CLI daemon os._exit()s as soon as wait() wakes, and setting

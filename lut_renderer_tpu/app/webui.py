@@ -128,7 +128,7 @@ class WebUI:
             "luts": lut_history(self.settings),
             "last_lut": last_lut(self.settings),
             "presets": list_presets(),
-            "concurrency": self.queue.manager._max,
+            "concurrency": self.queue.manager.max_concurrency,
         }
 
     def _save_preset(self, req: dict) -> dict:

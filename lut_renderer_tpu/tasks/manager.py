@@ -45,6 +45,10 @@ class TaskManager:
         self._profile_dir = profile_dir
 
     # -- queue management ---------------------------------------------------
+    @property
+    def max_concurrency(self) -> int:
+        return self._max
+
     def set_max_concurrency(self, value: int) -> None:
         with self._lock:
             self._max = max(1, int(value))

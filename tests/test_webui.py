@@ -125,7 +125,7 @@ def test_live_concurrency_config(web):
     ui, clip, cube, tmp = web
     r = _op(ui, {"op": "config", "concurrency": 5})
     assert r["ok"] and r["concurrency"] == 5
-    assert ui.queue.manager._max == 5
+    assert ui.queue.manager.max_concurrency == 5
     assert _get(ui, "/api/meta")["concurrency"] == 5
     # clamps to the spinner range, rejects non-integers
     assert _op(ui, {"op": "config", "concurrency": 99})["concurrency"] == 16
