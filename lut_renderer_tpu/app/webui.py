@@ -55,9 +55,11 @@ from .lut_history import (
 from .presets import (
     PresetError,
     PresetExistsError,
+    delete_preset,
     list_presets,
     load_preset,
     overwrite_preset,
+    rename_preset,
     save_preset,
 )
 from .server import QueueServer
@@ -214,6 +216,18 @@ class WebUI:
         op = req.get("op")
         if op == "save_preset":
             return self._save_preset(req)
+        if op == "delete_preset":
+            try:
+                delete_preset(req.get("name", ""))
+            except (PresetError, OSError, ValueError) as exc:
+                return {"ok": False, "error": str(exc)}
+            return {"ok": True, "presets": list_presets()}
+        if op == "rename_preset":
+            try:
+                rename_preset(req.get("name", ""), req.get("new_name", ""))
+            except (PresetError, OSError, ValueError) as exc:
+                return {"ok": False, "error": str(exc)}
+            return {"ok": True, "presets": list_presets()}
         if op == "luts":
             return self._luts_view()
         if op == "select_lut":

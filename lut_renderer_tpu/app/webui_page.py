@@ -151,6 +151,7 @@ input[type=file] { color:var(--dim); font-size:12px; width:100%; }
     </label></div>
     <div><label>Preset <select id="preset"></select></label></div>
     <button id="loadpreset">Load</button>
+    <button id="delpreset" class="danger">Delete</button>
   </div>
   <div class="row">
     <div><label>Save current parameters as
@@ -330,6 +331,13 @@ $("loadpreset").onclick = async () => {
   const name = $("preset").value; if (!name) return;
   const r = await api("/api/preset?name=" + encodeURIComponent(name));
   if (r.ok) { setParams(r.params); note("preset '" + name + "' loaded"); }
+  else note(r.error, true);
+};
+$("delpreset").onclick = async () => {
+  const name = $("preset").value; if (!name) return;
+  if (!confirm("Delete preset " + name + "?")) return;
+  const r = await op({op: "delete_preset", name});
+  if (r.ok) { note("preset " + name + " deleted"); refreshMeta(); }
   else note(r.error, true);
 };
 $("savepreset").onclick = async () => {

@@ -151,6 +151,13 @@ def test_preset_save_load_overwrite_contract(web):
     assert loaded["ok"] and loaded["params"]["bitrate"] == "4M"
     assert loaded["params"]["faststart"] is True
     assert not _get(ui, "/api/preset?name=ghost")["ok"]
+    # rename keeps the FileExistsError contract; delete removes
+    assert _op(ui, {"op": "rename_preset", "name": "webp",
+                    "new_name": "webq"})["ok"]
+    assert not _op(ui, {"op": "rename_preset", "name": "missing",
+                        "new_name": "x"})["ok"]
+    deleted = _op(ui, {"op": "delete_preset", "name": "webq"})
+    assert deleted["ok"] and "webq" not in deleted["presets"]
 
 
 def test_lut_manager_ops(web):
