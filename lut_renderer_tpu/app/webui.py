@@ -347,8 +347,14 @@ class WebUI:
                                 shutil.copyfileobj(f, self.wfile, 1 << 20)
                     else:
                         self._json({"ok": False, "error": "not found"}, 404)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-response (e.g. download)
                 except Exception as exc:  # never kill the connection
-                    self._json({"ok": False, "error": str(exc)[:300]}, 500)
+                    try:
+                        self._json({"ok": False, "error": str(exc)[:300]},
+                                   500)
+                    except OSError:
+                        pass
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
@@ -371,8 +377,14 @@ class WebUI:
                     return
                 try:
                     self._json(ui.handle_op(req))
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-response
                 except Exception as exc:  # never kill the connection
-                    self._json({"ok": False, "error": str(exc)[:300]}, 500)
+                    try:
+                        self._json({"ok": False, "error": str(exc)[:300]},
+                                   500)
+                    except OSError:
+                        pass
 
         srv = ThreadingHTTPServer((self.host, self._requested_port), Handler)
         srv.daemon_threads = True
