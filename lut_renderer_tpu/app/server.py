@@ -247,6 +247,16 @@ class QueueServer:
                 return {"ok": False, "error": f"unknown task {task_id!r}"}
             view = _task_view(task)
             view["logs"] = list(self._task_logs.get(task_id, []))
+            if task.source_info is not None:
+                # the probe detail the reference shows in its info dialog
+                # (main_window.py:1979-2119), minus empty fields
+                import dataclasses
+
+                view["source_info"] = {
+                    k: v for k, v in
+                    dataclasses.asdict(task.source_info).items()
+                    if v not in (None, "", {}, [])
+                }
             return {"ok": True, "task": view}
         views = [_task_view(t) for t in tasks.values()]
         agg = (sum(t.progress for t in tasks.values()) // len(tasks)

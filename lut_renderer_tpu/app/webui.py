@@ -131,7 +131,20 @@ class WebUI:
             "last_lut": last_lut(self.settings),
             "presets": list_presets(),
             "concurrency": self.queue.manager.max_concurrency,
+            "ui_theme": self.settings.get("ui_theme", "dark"),
         }
+
+    def _set_theme(self, theme: str) -> dict:
+        # persisted under the reference's own settings key (ui_theme,
+        # reference app.py:77-81 theme select / main_window._apply_theme)
+        if theme not in ("dark", "light"):
+            return {"ok": False, "error": "theme must be dark or light"}
+        self.settings["ui_theme"] = theme
+        if self._persist_settings:
+            from .settings import save_settings
+
+            save_settings(self.settings)
+        return {"ok": True, "ui_theme": theme}
 
     def _save_preset(self, req: dict) -> dict:
         name = req.get("name", "")
@@ -236,6 +249,8 @@ class WebUI:
             return self._clean_luts()
         if op == "upload_lut":
             return self._upload_lut(req)
+        if op == "ui_theme":
+            return self._set_theme(str(req.get("theme") or ""))
         resp = self.queue.handle_request(req)
         if (req.get("op") == "submit" and resp.get("ok")
                 and req.get("lut")):

@@ -18,6 +18,9 @@ PAGE = r"""<!doctype html>
 :root { --bg:#121517; --panel:#1b2023; --panel2:#22282c; --line:#2e373c;
         --text:#e0e3e5; --dim:#93a1a8; --teal:#26a69a; --teal2:#1d7d74;
         --red:#ef5350; --amber:#ffb74d; --green:#66bb6a; }
+body.light { --bg:#eceff1; --panel:#ffffff; --panel2:#eef2f4;
+             --line:#cfd8dc; --text:#263238; --dim:#546e7a;
+             --teal:#00897b; --teal2:#26a69a; }
 * { box-sizing:border-box; }
 body { margin:0; background:var(--bg); color:var(--text);
        font:14px/1.45 system-ui,-apple-system,"Segoe UI",sans-serif; }
@@ -125,6 +128,7 @@ input[type=file] { color:var(--dim); font-size:12px; width:100%; }
     <span id="aggpct" class="ver">0%</span></div>
   <label class="conc">concurrency
     <input type="number" id="conc" min="1" max="16" value="1"></label>
+  <button id="theme" title="dark/light">◐</button>
   <button id="clear">Clear completed</button>
   <button id="shutdown" class="danger">Shutdown</button>
 </header>
@@ -251,6 +255,7 @@ function fillMeta(m) {
   META = m;
   $("ver").textContent = "v" + m.version;
   $("conc").value = m.concurrency;
+  document.body.classList.toggle("light", m.ui_theme === "light");
   $("lutlist").innerHTML = m.luts.map(l =>
     `<option value="${esc(l)}">`).join("");
   const sel = $("preset");
@@ -309,10 +314,16 @@ async function showInfo(id) {
   if (!r.ok) { note(r.error, true); return; }
   const t = r.task;
   $("modaltitle").textContent = t.name + " — " + t.status;
+  let probe = "";
+  if (t.source_info) {
+    const rows = Object.entries(t.source_info).map(
+      ([k, v]) => k + ": " + JSON.stringify(v));
+    probe = "\n--- source probe ---\n" + rows.join("\n") + "\n";
+  }
   $("modalbody").textContent =
     `source:   ${t.source}\noutput:   ${t.output}\n` +
     `status:   ${t.status} (${t.progress}%)\n` +
-    (t.error ? `error:    ${t.error}\n` : "") +
+    (t.error ? `error:    ${t.error}\n` : "") + probe +
     `\n--- runtime log ---\n` + (t.logs || []).join("\n");
   $("modal").hidden = false;
 }
@@ -409,6 +420,12 @@ $("lutupload").onclick = async () => {
   if (r.ok) { $("lut").value = r.path;
               note("uploaded " + r.path + " (" + r.size + "³)");
               refreshLuts(); refreshMeta(); }
+  else note(r.error, true);
+};
+$("theme").onclick = async () => {
+  const next = document.body.classList.contains("light") ? "dark" : "light";
+  const r = await op({op: "ui_theme", theme: next});
+  if (r.ok) document.body.classList.toggle("light", next === "light");
   else note(r.error, true);
 };
 $("conc").onchange = async () => {

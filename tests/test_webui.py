@@ -93,6 +93,9 @@ def test_submit_render_info_thumb_and_lut_history(web):
     one = _get(ui, f"/api/task?id={tid}")
     assert one["ok"] and one["task"]["progress"] == 100
     assert any("engine:" in m for m in one["task"]["logs"])
+    # the probe detail the reference's info dialog shows
+    si = one["task"]["source_info"]
+    assert si["width"] == 64 and si["height"] == 64 and si["codec_name"]
     # submitting with a LUT remembers it, exactly like Start
     assert str(cube) in _get(ui, "/api/meta")["luts"]
     # queue-table thumbnail for the task's source
@@ -133,6 +136,17 @@ def test_live_concurrency_config(web):
     assert not _op(ui, {"op": "config", "concurrency": "many"})["ok"]
     # config with nothing to set is a no-op report
     assert _op(ui, {"op": "config"})["concurrency"] == 1
+
+
+def test_ui_theme_persisted(web):
+    """Dark/light theme stored under the reference's own ui_theme settings
+    key (reference app.py:77-81)."""
+    ui, clip, cube, tmp = web
+    assert _get(ui, "/api/meta")["ui_theme"] == "dark"
+    assert _op(ui, {"op": "ui_theme", "theme": "light"})["ok"]
+    assert _get(ui, "/api/meta")["ui_theme"] == "light"
+    assert ui.settings["ui_theme"] == "light"
+    assert not _op(ui, {"op": "ui_theme", "theme": "solarized"})["ok"]
 
 
 def test_preset_save_load_overwrite_contract(web):
