@@ -294,10 +294,16 @@ function row(t) {
         <button data-act="info" data-id="${t.task_id}">Info</button></td>
   </tr>`;
 }
+let hadUnfinished = false;
 async function pollQueue() {
   try {
     const q = await api("/api/queue");
     if (!q.ok) return;
+    const unfinished = q.tasks.some(t =>
+      t.status === "pending" || t.status === "running");
+    if (hadUnfinished && !unfinished && q.tasks.length)
+      note("queue finished — all tasks done");  // the tray-toast analog
+    hadUnfinished = unfinished;
     const json = JSON.stringify(q);
     if (json === lastQueueJson) return;
     lastQueueJson = json;
