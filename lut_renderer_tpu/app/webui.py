@@ -120,6 +120,9 @@ class WebUI:
             self._persist_settings = True
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # handler threads run concurrently; settings mutations (LUT
+        # history, theme) are read-modify-write and need serializing
+        self._settings_lock = threading.Lock()
 
     # -- app-layer ops ------------------------------------------------------
     def _meta(self) -> dict:
@@ -139,11 +142,12 @@ class WebUI:
         # reference app.py:77-81 theme select / main_window._apply_theme)
         if theme not in ("dark", "light"):
             return {"ok": False, "error": "theme must be dark or light"}
-        self.settings["ui_theme"] = theme
-        if self._persist_settings:
-            from .settings import save_settings
+        with self._settings_lock:
+            self.settings["ui_theme"] = theme
+            if self._persist_settings:
+                from .settings import save_settings
 
-            save_settings(self.settings)
+                save_settings(self.settings)
         return {"ok": True, "ui_theme": theme}
 
     def _save_preset(self, req: dict) -> dict:
@@ -180,14 +184,16 @@ class WebUI:
         # form can't be primed with a path submit would reject anyway
         if not path or not Path(path).exists():
             return {"ok": False, "error": f"LUT not found: {path}"}
-        self.settings = remember_lut(path, self.settings,
-                                     persist=self._persist_settings)
+        with self._settings_lock:
+            self.settings = remember_lut(path, self.settings,
+                                         persist=self._persist_settings)
         return self._luts_view()
 
     def _clean_luts(self) -> dict:
-        before = len(lut_history(self.settings))
-        self.settings = cleanup_lut_history(self.settings,
-                                            persist=self._persist_settings)
+        with self._settings_lock:
+            before = len(lut_history(self.settings))
+            self.settings = cleanup_lut_history(
+                self.settings, persist=self._persist_settings)
         view = self._luts_view()
         view["removed"] = before - len(view["luts"])
         return view
@@ -210,15 +216,16 @@ class WebUI:
             return {"ok": False, "error": str(exc)}
         dest_dir = _config_root() / "luts"
         dest_dir.mkdir(parents=True, exist_ok=True)
-        dest = dest_dir / name
-        if dest.exists() and not req.get("overwrite"):
-            stem, i = dest.stem, 1  # anti-collision, like output naming
-            while dest.exists():
-                dest = dest_dir / f"{stem}_{i}.cube"
-                i += 1
-        dest.write_text(text)
-        self.settings = remember_lut(dest, self.settings,
-                                     persist=self._persist_settings)
+        with self._settings_lock:
+            dest = dest_dir / name
+            if dest.exists() and not req.get("overwrite"):
+                stem, i = dest.stem, 1  # anti-collision, like output naming
+                while dest.exists():
+                    dest = dest_dir / f"{stem}_{i}.cube"
+                    i += 1
+            dest.write_text(text)
+            self.settings = remember_lut(dest, self.settings,
+                                         persist=self._persist_settings)
         view = self._luts_view()
         view.update(path=str(dest), size=lut.size)
         return view
@@ -252,11 +259,12 @@ class WebUI:
         if op == "ui_theme":
             return self._set_theme(str(req.get("theme") or ""))
         resp = self.queue.handle_request(req)
-        if (req.get("op") == "submit" and resp.get("ok")
-                and req.get("lut")):
+        if op == "submit" and resp.get("ok") and req.get("lut"):
             # Start remembers the LUT (reference main_window.py:1824)
-            self.settings = remember_lut(req["lut"], self.settings,
-                                         persist=self._persist_settings)
+            with self._settings_lock:
+                self.settings = remember_lut(
+                    req["lut"], self.settings,
+                    persist=self._persist_settings)
         return resp
 
     def _thumb(self, task_id: str):
@@ -378,6 +386,8 @@ class WebUI:
                     return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
+                    if length < 0:
+                        raise ValueError("negative Content-Length")
                     if length > _MAX_BODY:
                         self._json({"ok": False,
                                     "error": "request too large"}, 413)
