@@ -322,6 +322,15 @@ def main() -> int:
         "value": 0.0,
         "unit": "fps",
         "vs_baseline": 0.0,
+        # Measurement-regime version so cross-round comparisons never mix
+        # methodologies silently (VERDICT r4 weak #6). History:
+        #   1 (r1-r2): per-dispatch timing, chain=1 (sync tax per batch)
+        #   2 (r3):    feedback-chained steps for depth-PRESERVING configs;
+        #              depth-changing ones still chain=1
+        #   3 (r4+):   depth-changing configs scan over pre-staged input
+        #              batches in one jit (experiments/FINDINGS.md "bench
+        #              methodology" entry defines each field's regime)
+        "bench_methodology": 3,
     }
     try:
         cpu_fps = measure_cpu_fps(cube)

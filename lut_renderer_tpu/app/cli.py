@@ -566,22 +566,37 @@ def cmd_serve(args) -> int:
     if getattr(args, "http", None) is not None:
         from .webui import WebUI
 
-        web = WebUI(server, host=args.http_host, port=args.http)
+        token = getattr(args, "http_token", None)
+        if token == "auto":
+            import secrets
+
+            token = secrets.token_urlsafe(16)
+        try:
+            web = WebUI(server, host=args.http_host, port=args.http,
+                        token=token)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            server.stop()
+            return 2
         web.start()
-        print(f"web GUI on {web.url}")
+        print(f"web GUI on {web.url}"
+              + (f"?token={token}" if token else ""))
     print(f"lut-tpu serving on {args.socket} "
           f"(concurrency {args.concurrency}); "
           f"send {{\"op\": \"shutdown\"}} to stop")
     try:
-        server.wait()
-        if web is not None:
-            web.stop()
+        server.shutdown_requested.wait()
     except KeyboardInterrupt:
         print("\nshutting down", file=sys.stderr)
+        server._draining = True  # refuse new submits during the drain
         for task_id in list(server.manager.tasks):
             server.manager.cancel_task(task_id)
-        server.manager.wait_all(timeout=120)
-        server.stop()
+    # stop the web UI BEFORE draining: no new state changes (browser
+    # submits) may land while the daemon is tearing down
+    if web is not None:
+        web.stop()
+    server.manager.wait_all(timeout=120)
+    server.stop()
     # hard exit: TPU runtime teardown (axon tunnel threads) can wedge a
     # normal interpreter exit; a daemon's shutdown must be prompt
     print("lut-tpu serve: stopped")
@@ -783,8 +798,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "the reference's main window) on this port; "
                             "0 picks a free port")
     serve.add_argument("--http-host", default="127.0.0.1",
-                       help="web GUI bind address (default 127.0.0.1; the "
-                            "trust model matches the Unix socket)")
+                       help="web GUI bind address (default 127.0.0.1; "
+                            "non-loopback binds require --http-token)")
+    serve.add_argument("--http-token", metavar="TOKEN",
+                       help="require this token on every web GUI request "
+                            "(open /?token=TOKEN once; 'auto' generates "
+                            "one and prints it). Mandatory for non-"
+                            "loopback --http-host")
     serve.add_argument("--queue-file", metavar="PATH",
                        help="durable queue: restore on start (interrupted "
                             "tasks resume as pending) and persist on every "

@@ -186,20 +186,29 @@ class QueueServer:
             # refuse new work at once, but DEFER the shutdown signal: the
             # CLI daemon os._exit()s as soon as wait() wakes, and setting
             # the event here raced the handler's response write — the
-            # reply was observably lost in a live drive
+            # reply was observably lost in a live drive. Transports pop the
+            # private `_then_shutdown` marker and call finalize_shutdown()
+            # AFTER flushing the reply (deterministic, however slow the
+            # client is); the timer is only a backstop for direct
+            # handle_request callers that never flush a transport.
             self._draining = True
             for task_id in list(self.manager.tasks):
                 self.manager.cancel_task(task_id)
-
-            def _go():
-                self.shutdown_requested.set()
-                self.stop()
-
-            timer = threading.Timer(0.2, _go)
+            timer = threading.Timer(2.0, self.finalize_shutdown)
             timer.daemon = True
             timer.start()
-            return {"ok": True}
+            self._shutdown_timer = timer
+            return {"ok": True, "_then_shutdown": True}
         return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def finalize_shutdown(self) -> None:
+        """Signal shutdown and stop accepting. Called by a transport after
+        it has flushed the shutdown reply (or by the backstop timer)."""
+        timer = getattr(self, "_shutdown_timer", None)
+        if timer is not None:
+            timer.cancel()
+        self.shutdown_requested.set()
+        self.stop()
 
     def _submit(self, req: dict) -> dict:
         if self._draining or self.shutdown_requested.is_set():
@@ -280,9 +289,15 @@ class QueueServer:
                         resp = {"ok": False, "error": f"bad json: {exc}"}
                     except Exception as exc:  # never kill the connection
                         resp = {"ok": False, "error": str(exc)[:300]}
+                    then_shutdown = (isinstance(resp, dict)
+                                     and resp.pop("_then_shutdown", False))
                     self.wfile.write(
                         (json.dumps(resp) + "\n").encode("utf-8"))
                     self.wfile.flush()
+                    if then_shutdown:
+                        # reply is on the wire: now the signal is race-free
+                        outer.finalize_shutdown()
+                        return
 
         self.socket_path.parent.mkdir(parents=True, exist_ok=True)
         if self.socket_path.exists():

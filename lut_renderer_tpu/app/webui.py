@@ -28,9 +28,21 @@ affordances mapped 1:1:
 The JSON API is a thin bridge onto the Unix-socket protocol
 (app/server.py): ``POST /api/op`` passes the request object to
 ``QueueServer.handle_request`` unchanged, so everything the socket can do
-the page can do. Trust model matches the socket: binds 127.0.0.1 by
-default; anyone who can reach the port can submit jobs (file paths are
-server-side paths).
+the page can do.
+
+Trust model (unlike the Unix socket, an HTTP port is reachable from any
+web page the user's browser visits, so "binds 127.0.0.1" is not enough):
+
+* every request's Host header must name the bound address (defeats DNS
+  rebinding against the loopback bind);
+* ``POST /api/op`` requires ``Content-Type: application/json`` (a browser
+  cannot send that cross-origin without a CORS preflight, which we never
+  answer — blocks blind no-cors CSRF posts) and, when an Origin header is
+  present, it must be our own origin;
+* optionally a per-daemon token (``serve --http-token``): required on
+  every endpoint, supplied once as ``?token=`` (the page stores it in a
+  SameSite=Strict cookie so links and fetches ride along). Non-loopback
+  binds REQUIRE a token.
 """
 
 from __future__ import annotations
@@ -69,6 +81,12 @@ from .webui_page import PAGE
 # the largest supported size, ~64 MB); everything else is tiny.
 _MAX_BODY = 96 << 20
 
+_LOOPBACK_NAMES = ("127.0.0.1", "localhost", "::1", "[::1]")
+
+
+def _is_loopback(host: str) -> bool:
+    return host in _LOOPBACK_NAMES or host.startswith("127.")
+
 
 def _field_schema() -> list:
     """One entry per ProcessingParams field, with both mode-template
@@ -106,10 +124,17 @@ class WebUI:
     """
 
     def __init__(self, queue_server: QueueServer, host: str = "127.0.0.1",
-                 port: int = 0, settings: Optional[dict] = None):
+                 port: int = 0, settings: Optional[dict] = None,
+                 token: Optional[str] = None):
         self.queue = queue_server
         self.host = host
+        self.token = token or None
         self._requested_port = port
+        if not _is_loopback(host) and not self.token:
+            raise ValueError(
+                f"refusing to bind the web GUI on non-loopback {host!r} "
+                "without --http-token: anyone who can reach the port could "
+                "submit server-side paths")
         if settings is not None:
             self.settings = settings
             self._persist_settings = False
@@ -134,7 +159,9 @@ class WebUI:
             "last_lut": last_lut(self.settings),
             "presets": list_presets(),
             "concurrency": self.queue.manager.max_concurrency,
-            "ui_theme": self.settings.get("ui_theme", "dark"),
+            # default mirrors the reference's fresh-install theme (its
+            # app.py themes dict defaults the ui_theme key to light)
+            "ui_theme": self.settings.get("ui_theme", "light"),
         }
 
     def _set_theme(self, theme: str) -> dict:
@@ -309,11 +336,16 @@ class WebUI:
             def log_message(self, fmt, *args):  # noqa: D102
                 pass
 
+            _set_cookie: Optional[str] = None
+
             def _send(self, code: int, body: bytes, ctype: str) -> None:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
+                if self._set_cookie:
+                    self.send_header("Set-Cookie", self._set_cookie)
+                    self._set_cookie = None
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -321,10 +353,87 @@ class WebUI:
                 self._send(code, json.dumps(payload).encode("utf-8"),
                            "application/json")
 
+            # -- trust checks (module docstring: the HTTP port is reachable
+            # from any page the browser visits, unlike the Unix socket) ----
+            def _host_ok(self) -> bool:
+                if not _is_loopback(ui.host):
+                    return True  # non-loopback binds are token-gated instead
+                host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+                return host in _LOOPBACK_NAMES or host.startswith("127.")
+
+            def _cookie_token(self) -> str:
+                for part in (self.headers.get("Cookie") or "").split(";"):
+                    name, _, value = part.strip().partition("=")
+                    if name == "luttok":
+                        return value
+                return ""
+
+            def _authed(self, q) -> bool:
+                if ui.token is None:
+                    return True
+                presented = (self.headers.get("X-Auth-Token")
+                             or self._cookie_token()
+                             or q.get("token", [""])[0])
+                ok = presented == ui.token
+                if ok and q.get("token", [""])[0] == ui.token:
+                    # first visit via ?token=...: persist it so the page's
+                    # fetches and plain <a> download links ride along
+                    self._set_cookie = ("luttok=" + ui.token
+                                        + "; Path=/; HttpOnly; "
+                                          "SameSite=Strict")
+                return ok
+
+            def _gate(self, q) -> bool:
+                """Host + token gate for every endpoint; replies on fail."""
+                if not self._host_ok():
+                    self._json({"ok": False,
+                                "error": "Host header does not match the "
+                                         "bound address"}, 403)
+                    return False
+                if not self._authed(q):
+                    self._json({"ok": False,
+                                "error": "missing or wrong token (open "
+                                         "/?token=... or send "
+                                         "X-Auth-Token)"}, 401)
+                    return False
+                return True
+
+            def _serve_file(self, path) -> None:
+                """Stream a rendered artifact. Once the body has started,
+                errors close the connection instead of appending a JSON 500
+                onto declared-length framing (which would silently truncate
+                the download into a corrupt file)."""
+                import mimetypes
+                import shutil
+
+                ctype = (mimetypes.guess_type(path.name)[0]
+                         or "application/octet-stream")
+                size = path.stat().st_size
+                f = path.open("rb")
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    fname = path.name.replace("\\", "_").replace('"', "_")
+                    self.send_header("Content-Disposition",
+                                     f'attachment; filename="{fname}"')
+                    self.send_header("Content-Length", str(size))
+                    self.end_headers()
+                    # stream: finished masters/outputs can be GBs
+                    try:
+                        shutil.copyfileobj(f, self.wfile, 1 << 20)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass  # client went away mid-download
+                    except Exception:
+                        self.close_connection = True
+                finally:
+                    f.close()
+
             def do_GET(self):  # noqa: N802
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
                 try:
+                    if not self._gate(q):
+                        return
                     if url.path == "/":
                         self._send(200, PAGE.encode("utf-8"),
                                    "text/html; charset=utf-8")
@@ -352,22 +461,7 @@ class WebUI:
                             self._json({"ok": False,
                                         "error": "no such artifact"}, 404)
                         else:
-                            import mimetypes
-                            import shutil
-
-                            ctype = (mimetypes.guess_type(path.name)[0]
-                                     or "application/octet-stream")
-                            self.send_response(200)
-                            self.send_header("Content-Type", ctype)
-                            self.send_header(
-                                "Content-Disposition",
-                                f'attachment; filename="{path.name}"')
-                            self.send_header("Content-Length",
-                                             str(path.stat().st_size))
-                            self.end_headers()
-                            # stream: finished masters/outputs can be GBs
-                            with path.open("rb") as f:
-                                shutil.copyfileobj(f, self.wfile, 1 << 20)
+                            self._serve_file(path)
                     else:
                         self._json({"ok": False, "error": "not found"}, 404)
                 except (BrokenPipeError, ConnectionResetError):
@@ -381,9 +475,30 @@ class WebUI:
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if not self._gate(q):
+                    return
                 if url.path != "/api/op":
                     self._json({"ok": False, "error": "not found"}, 404)
                     return
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                if "application/json" not in ctype:
+                    # a browser cannot send this header cross-origin without
+                    # a CORS preflight (never answered) — CSRF stop #1
+                    self._json({"ok": False,
+                                "error": "Content-Type must be "
+                                         "application/json"}, 415)
+                    return
+                origin = self.headers.get("Origin")
+                if origin:  # CSRF stop #2: explicit cross-origin posts
+                    ohost = urlparse(origin).hostname or ""
+                    if not (ohost in _LOOPBACK_NAMES
+                            or ohost.startswith("127.")
+                            or ohost == ui.host):
+                        self._json({"ok": False,
+                                    "error": "cross-origin requests are "
+                                             "not accepted"}, 403)
+                        return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     if length < 0:
@@ -401,7 +516,15 @@ class WebUI:
                                400)
                     return
                 try:
-                    self._json(ui.handle_op(req))
+                    resp = ui.handle_op(req)
+                    then_shutdown = (isinstance(resp, dict)
+                                     and resp.pop("_then_shutdown", False))
+                    self._json(resp)
+                    if then_shutdown:
+                        # reply flushed: signal shutdown race-free (the
+                        # socket-transport twin does the same)
+                        self.wfile.flush()
+                        ui.queue.finalize_shutdown()
                 except (BrokenPipeError, ConnectionResetError):
                     pass  # client went away mid-response
                 except Exception as exc:  # never kill the connection

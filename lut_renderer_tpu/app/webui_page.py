@@ -120,7 +120,7 @@ input[type=file] { color:var(--dim); font-size:12px; width:100%; }
 [hidden] { display:none !important; }
 </style>
 </head>
-<body>
+<body class="light">
 <header>
   <h1>LUT Renderer <span class="tpu">TPU</span></h1>
   <span class="ver" id="ver"></span>
@@ -192,6 +192,8 @@ input[type=file] { color:var(--dim); font-size:12px; width:100%; }
     <button id="lutupload">Upload</button>
     <button id="lutclean">Clean invalid</button>
   </div>
+  <input type="text" id="lutfilter" placeholder="filter…"
+         style="margin:8px 0 4px">
   <div id="lutslist"></div>
 </div></div>
 <script>
@@ -390,18 +392,28 @@ $("clear").onclick = async () => {
   if (r.ok) note(`removed ${r.removed} finished task(s)`);
   lastQueueJson = ""; pollQueue();
 };
-async function refreshLuts() {
-  const r = await op({op: "luts"});
-  if (!r.ok) { note(r.error, true); return; }
-  $("lutslist").innerHTML = r.luts.map(l => {
+let LUTS = [];
+function renderLuts() {
+  const needle = $("lutfilter").value.trim().toLowerCase();
+  const shown = LUTS.filter(l =>
+    !needle || l.path.toLowerCase().includes(needle));
+  $("lutslist").innerHTML = shown.map(l => {
     const mark = l.exists ? "ok" : "missing";
     const glyph = l.exists ? "✓" : "✗";
     const p = esc(l.path);
     return `<div class="lutrow"><span class="${mark}">${glyph}</span>` +
            `<span class="lpath">${p}</span>` +
            `<button data-use="${p}">Use</button></div>`;
-  }).join("") || '<div class="empty">history is empty</div>';
+  }).join("") || '<div class="empty">' +
+    (LUTS.length ? "no match" : "history is empty") + '</div>';
 }
+async function refreshLuts() {
+  const r = await op({op: "luts"});
+  if (!r.ok) { note(r.error, true); return; }
+  LUTS = r.luts;
+  renderLuts();
+}
+$("lutfilter").oninput = renderLuts;
 $("lutmanage").onclick = () => { $("lutsmodal").hidden = false;
                                  refreshLuts(); };
 $("lutsclose").onclick = () => { $("lutsmodal").hidden = true; };

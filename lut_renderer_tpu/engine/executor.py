@@ -408,7 +408,8 @@ def run_stage(
 
         stats.wall_s = time.perf_counter() - t_start
         progress(100)
-        log(f"engine: {stats.summary()}")
+        # stats reach logs via the caller (tasks.runner logs summary() on
+        # every outcome, not just success — SURVEY §5.1 observability)
         return StageResult(ok=True, stats=stats)
     except Exception as exc:
         stats.wall_s = time.perf_counter() - t_start

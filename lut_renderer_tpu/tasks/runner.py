@@ -160,6 +160,14 @@ class TaskRunner:
                     lut_strategy=self.lut_strategy,
                     profile_dir=self.profile_dir,
                 )
+                # per-stage throughput counters (SURVEY §5.1) reach the task
+                # log on EVERY outcome — the daemon status/TUI/web info views
+                # all read this tail, so "which phase bounded this task" is
+                # answerable from the task itself (reference analog: the
+                # detail dialog's runtime info, main_window.py:1979-2119)
+                if result.stats.frames_out or result.stats.frames_in:
+                    self._log(f"stage {index + 1} stats: "
+                              f"{result.stats.summary()}")
                 if result.canceled:
                     break
                 if not result.ok:

@@ -95,10 +95,14 @@ def test_serve_shutdown_cancels_and_refuses(served):
     server, sock, clip, cube, tmp = served
     resp = request(sock, {"op": "shutdown"})
     assert resp["ok"]
-    # submits are refused at once; the public event follows the short
-    # response-flush grace period (see handle_request's shutdown branch)
-    assert not request(sock, {"op": "submit", "files": [str(clip)]})["ok"]
+    assert "_then_shutdown" not in resp  # transport strips the marker
+    # the reply is flushed BEFORE the signal (deterministic — no grace
+    # timer), so by the time the client has the response the server is
+    # already stopping: new connections are refused, and direct submits
+    # through the API are refused by the drain flag
     assert server.shutdown_requested.wait(5)
+    assert not server.handle_request(
+        {"op": "submit", "files": [str(clip)]})["ok"]
     server.wait()  # returns: queue drained
 
 

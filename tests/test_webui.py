@@ -93,6 +93,10 @@ def test_submit_render_info_thumb_and_lut_history(web):
     one = _get(ui, f"/api/task?id={tid}")
     assert one["ok"] and one["task"]["progress"] == 100
     assert any("engine:" in m for m in one["task"]["logs"])
+    # per-stage throughput counters land in the task log (SURVEY §5.1):
+    # decode/render/encode fps readable off the task itself
+    (stats_line,) = [m for m in one["task"]["logs"] if "stats:" in m]
+    assert "render" in stats_line and "encode" in stats_line
     # the probe detail the reference's info dialog shows
     si = one["task"]["source_info"]
     assert si["width"] == 64 and si["height"] == 64 and si["codec_name"]
@@ -140,12 +144,13 @@ def test_live_concurrency_config(web):
 
 def test_ui_theme_persisted(web):
     """Dark/light theme stored under the reference's own ui_theme settings
-    key (reference app.py:77-81)."""
+    key, with the reference's fresh-install default of light
+    (reference app.py:79, main_window.py:207)."""
     ui, clip, cube, tmp = web
-    assert _get(ui, "/api/meta")["ui_theme"] == "dark"
-    assert _op(ui, {"op": "ui_theme", "theme": "light"})["ok"]
     assert _get(ui, "/api/meta")["ui_theme"] == "light"
-    assert ui.settings["ui_theme"] == "light"
+    assert _op(ui, {"op": "ui_theme", "theme": "dark"})["ok"]
+    assert _get(ui, "/api/meta")["ui_theme"] == "dark"
+    assert ui.settings["ui_theme"] == "dark"
     assert not _op(ui, {"op": "ui_theme", "theme": "solarized"})["ok"]
 
 
@@ -286,8 +291,9 @@ def test_transport_and_protocol_errors(web):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(ui, "/nope")
     assert err.value.code == 404
-    bad = urllib.request.Request(ui.url.rstrip("/") + "/api/op",
-                                 data=b"{bad json", method="POST")
+    bad = urllib.request.Request(
+        ui.url.rstrip("/") + "/api/op", data=b"{bad json",
+        headers={"Content-Type": "application/json"}, method="POST")
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(bad, timeout=30)
     assert err.value.code == 400
@@ -299,3 +305,162 @@ def test_transport_and_protocol_errors(web):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(ui, "/api/thumb?task=ghost")
     assert err.value.code == 404
+
+
+def _status_of(request_obj):
+    try:
+        with urllib.request.urlopen(request_obj, timeout=30) as r:
+            return r.status
+    except urllib.error.HTTPError as err:
+        return err.code
+
+
+def test_csrf_protections(web):
+    """The HTTP port is reachable from any page the browser visits (unlike
+    the Unix socket), so state-changing POSTs are gated: JSON content type
+    required (a browser can't send it cross-origin without a CORS
+    preflight), cross-site Origin rejected, and a wrong Host header
+    (DNS rebinding against the loopback bind) rejected everywhere."""
+    base = web[0].url.rstrip("/")
+    body = json.dumps({"op": "clear"}).encode()
+    # no-cors CSRF shape: form content type
+    form = urllib.request.Request(
+        base + "/api/op", data=body, method="POST",
+        headers={"Content-Type": "text/plain"})
+    assert _status_of(form) == 415
+    # explicit cross-origin post
+    xorigin = urllib.request.Request(
+        base + "/api/op", data=body, method="POST",
+        headers={"Content-Type": "application/json",
+                 "Origin": "https://evil.example"})
+    assert _status_of(xorigin) == 403
+    # same-origin posts keep working
+    sameorigin = urllib.request.Request(
+        base + "/api/op", data=body, method="POST",
+        headers={"Content-Type": "application/json",
+                 "Origin": f"http://127.0.0.1:{web[0].port}"})
+    assert _status_of(sameorigin) == 200
+    # DNS rebinding: attacker's hostname resolving to 127.0.0.1
+    rebind = urllib.request.Request(
+        base + "/api/meta", headers={"Host": "evil.example"})
+    assert _status_of(rebind) == 403
+
+
+def test_token_auth(tmp_path):
+    """`serve --http-token`: every endpoint requires the token, supplied as
+    ?token= (persisted into a SameSite cookie so <a download> links work)
+    or X-Auth-Token; non-loopback binds refuse to start without one."""
+    server = QueueServer(tmp_path / "t.sock", lut_strategy="gather")
+    ui = WebUI(server, port=0, settings={}, token="sekrit")
+    ui.start()
+    try:
+        base = ui.url.rstrip("/")
+        assert _status_of(urllib.request.Request(base + "/api/meta")) == 401
+        with urllib.request.urlopen(base + "/?token=sekrit",
+                                    timeout=30) as r:
+            assert r.status == 200
+            cookie = r.headers.get("Set-Cookie", "")
+            assert "luttok=sekrit" in cookie and "SameSite=Strict" in cookie
+        # header auth and cookie auth both work on the API
+        hdr = urllib.request.Request(base + "/api/meta",
+                                     headers={"X-Auth-Token": "sekrit"})
+        with urllib.request.urlopen(hdr, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+        ck = urllib.request.Request(base + "/api/meta",
+                                    headers={"Cookie": "luttok=sekrit"})
+        with urllib.request.urlopen(ck, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+        wrong = urllib.request.Request(base + "/api/meta",
+                                       headers={"X-Auth-Token": "nope"})
+        assert _status_of(wrong) == 401
+        # authed POST works end to end
+        post = urllib.request.Request(
+            base + "/api/op", data=json.dumps({"op": "clear"}).encode(),
+            method="POST", headers={"Content-Type": "application/json",
+                                    "X-Auth-Token": "sekrit"})
+        with urllib.request.urlopen(post, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        ui.stop()
+    # non-loopback bind without a token refuses to construct
+    with pytest.raises(ValueError, match="http-token"):
+        WebUI(server, host="0.0.0.0", port=0, settings={})
+
+
+def test_web_shutdown_is_deterministic(tmp_path):
+    """The shutdown reply is flushed BEFORE the signal fires (no wall-clock
+    grace timer): by the time the client has the response, the daemon's
+    shutdown event is set and new submits are refused."""
+    server = QueueServer(tmp_path / "s.sock", lut_strategy="gather")
+    ui = WebUI(server, port=0, settings={})
+    ui.start()
+    try:
+        r = _op(ui, {"op": "shutdown"})
+        assert r["ok"] and "_then_shutdown" not in r
+        assert server.shutdown_requested.wait(5)
+        assert not server.handle_request({"op": "submit",
+                                          "files": ["/x.mp4"]})["ok"]
+    finally:
+        ui.stop()
+
+
+def test_page_reads_only_live_api_fields(web):
+    """Field-level page contract: every JSON field the page's JS reads off
+    an API response object must exist in the corresponding LIVE response
+    (no JS engine exists here, so renaming a server-side field must break
+    this test before it breaks the page). Receivers are extracted
+    mechanically from the script: `m.` (meta), `q.` (queue), `t.` (task
+    views), `l.` (LUT entries), `f.` (field schema) and `r.` (op
+    responses); method calls are skipped."""
+    import re
+
+    from lut_renderer_tpu.app.webui_page import PAGE
+
+    ui, clip, cube, tmp = web
+
+    # ---- live responses covering every shape the page touches ----
+    meta = _get(ui, "/api/meta")
+    submit = _op(ui, {"op": "submit", "files": [str(clip)],
+                      "lut": str(cube),
+                      "params": {"video_codec": "mpeg4", "bitrate": "1M"},
+                      "out_dir": str(tmp / "outf")})
+    assert submit["ok"], submit
+    (tid,) = submit["task_ids"]
+    queue = _get(ui, "/api/queue")
+    _wait_done(ui, [tid])
+    task = _get(ui, f"/api/task?id={tid}")
+    luts = _op(ui, {"op": "luts"})
+    upload = _op(ui, {"op": "upload_lut", "name": "contract.cube",
+                      "text": Path(cube).read_text()})
+    preset = _op(ui, {"op": "save_preset", "name": "contract",
+                      "params": {"video_codec": "mpeg4"}})
+    loaded = _get(ui, "/api/preset?name=contract")
+    config = _op(ui, {"op": "config", "concurrency": 2})
+    clear = _op(ui, {"op": "clear"})
+    exists_err = _op(ui, {"op": "save_preset", "name": "contract",
+                          "params": {}})  # ok:false + error shape
+
+    task_fields = (set(queue["tasks"][0]) | set(task["task"])
+                   | {"logs", "source_info"})
+    op_fields = (set(submit) | set(luts) | set(upload) | set(preset)
+                 | set(loaded) | set(config) | set(clear) | set(exists_err)
+                 | set(task) | {"error", "warnings", "logs"})
+    live = {
+        "m": set(meta),
+        "q": set(queue),
+        "t": task_fields,
+        "l": set(luts["luts"][0]),
+        "f": {f for fld in meta["fields"] for f in fld},
+        "r": op_fields,
+    }
+
+    script = PAGE.split("<script>", 1)[1].split("</script>", 1)[0]
+    checked = 0
+    for recv, field, call in re.findall(
+            r"\b([mqtlfr])\.([A-Za-z_]\w*)(\()?", script):
+        if call:  # method call (r.json(), f.text(), l.path.toLowerCase()…)
+            continue
+        assert field in live[recv], \
+            f"page reads {recv}.{field} but the live response lacks it"
+        checked += 1
+    assert checked >= 30  # the extraction actually found the reads
