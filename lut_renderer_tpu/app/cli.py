@@ -526,6 +526,18 @@ def cmd_doctor(args) -> int:
                f"{gdir} ({n_gated} LUTs gated)" if gdir else "disabled")
     except Exception as exc:
         report("tier-gate cache", False, str(exc)[:80])
+    try:
+        from ..engine.geometry import BUCKETS, geometry_mode
+
+        mode = geometry_mode()
+        report("geometry programs", True,
+               f"mode={mode} "
+               + (f"({len(BUCKETS)}-bucket ladder: ad hoc resolutions "
+                  f"pad-and-crop onto warmed programs)" if mode == "bucket"
+                  else "(every resolution compiles its own program; "
+                       "LUT_TPU_GEOMETRY=exact)"))
+    except Exception as exc:
+        report("geometry programs", False, str(exc)[:80])
     if getattr(args, "warmup", False):
         from ..engine.warmup import warmup_programs
         from ..utils.compile_cache import enable_persistent_compile_cache

@@ -132,7 +132,19 @@ def run_stage(
         out_w, out_h = parse_resolution(spec.resolution) or (w, h)
         enc_settings = derive_encoder_settings(spec, source_info, out_w, out_h)
         fps = output_fps(spec, source_info)
-        bsz = batch_size or _pick_batch_size(w, h)
+        # Ad hoc geometries ride a bucket-shaped precompiled program via
+        # host-side pad-and-crop (engine.geometry) — the reference renders
+        # any resolution with zero warmup, and shape-keyed XLA programs
+        # must not turn that into minutes of compile. Resize keeps exact
+        # shapes (its output depends on input geometry globally).
+        from .geometry import (
+            crop_batch_from_bucket,
+            pad_batch_to_bucket,
+            pick_bucket,
+        )
+
+        bucket = pick_bucket(w, h) if cfg.resize is None else None
+        bsz = batch_size or _pick_batch_size(*(bucket or (w, h)))
         log(
             f"engine: {w}x{h} -> {out_w}x{out_h} @{float(fps):.3f}fps, "
             f"batch={bsz}, in {cfg.in_depth}bit/{cfg.in_subsampling} "
@@ -140,11 +152,15 @@ def run_stage(
             f"interp={cfg.interp}, dither={cfg.dither}, "
             f"matrix {cfg.matrix_in}->{cfg.matrix_out}"
         )
+        if bucket is not None:
+            log(f"engine: geometry rides the {bucket[0]}x{bucket[1]} bucket "
+                f"program (host pad-and-crop; ad hoc shapes reuse the "
+                f"warmed ladder instead of compiling)")
         if prep is not None and cfg.apply_lut and cfg.lut_strategy == "mxu":
             # which numeric tier the per-LUT gate picked, and its simulated
             # worst-case error (observability for the precision machinery)
             tier = prep.resolve_precision(cfg.interp, cfg.lut_precision)
-            if tier in ("exact", "fast"):
+            if tier in ("exact", "fast", "gather"):
                 log(f"engine: LUT kernel precision={tier}")
             else:
                 log(f"engine: LUT kernel precision={tier} "
@@ -327,6 +343,9 @@ def run_stage(
                 t0 = time.perf_counter()
                 dispatched = None
                 if kind != "eof":
+                    if bucket is not None:
+                        a, b, c = pad_batch_to_bucket(
+                            a, b, c, bucket, cfg.in_subsampling)
                     if put_fn is not None:
                         a, b, c = put_fn(a, b, c)
                     dispatched = (*render_fn(a, b, c), count)
@@ -336,6 +355,9 @@ def run_stage(
                     yq = np.asarray(yq)
                     uq = np.asarray(uq)
                     vq = np.asarray(vq)
+                    if bucket is not None:
+                        yq, uq, vq = crop_batch_from_bucket(
+                            yq, uq, vq, out_w, out_h, cfg.out_subsampling)
                     stats.render_s += time.perf_counter() - t0
                     stats.batches += 1
                     error = emit((yq, uq, vq, n_prev))
@@ -350,6 +372,9 @@ def run_stage(
                 yq = np.asarray(yq)
                 uq = np.asarray(uq)
                 vq = np.asarray(vq)
+                if bucket is not None:
+                    yq, uq, vq = crop_batch_from_bucket(
+                        yq, uq, vq, out_w, out_h, cfg.out_subsampling)
                 stats.render_s += time.perf_counter() - t0
                 stats.batches += 1
                 error = emit((yq, uq, vq, n_prev))

@@ -55,6 +55,32 @@ DEFAULT_PROGRAMS: List[WarmupProgram] = [
 ]
 
 
+def _bucket_programs() -> List[WarmupProgram]:
+    """The geometry-bucket ladder (engine.geometry.BUCKETS): one program
+    per bucket for the ad hoc serving class (8-bit 4:2:0, the web-submit
+    shape), tiers = the 33^3 gate ladder's head ("auto" usually resolves
+    int8_lite) plus the bf16 "fast" rung for LUTs that fail the int8 gate
+    (int8_fast LUTs compile once per bucket — bounded by the ladder, not
+    by user geometry). Plus the DCI pro-master class at its bucket. The 8K
+    bucket is left to compile-on-first-use (ad hoc 8K is rare and the
+    exact 8K 10-bit program above covers production)."""
+    from .geometry import BUCKETS
+
+    out = []
+    for bw, bh in BUCKETS:
+        if (bw, bh) == (7680, 4320):
+            continue
+        out.append(WarmupProgram(f"bucket {bw}x{bh} 33^3", bw, bh, 33,
+                                 tiers=("auto", "fast")))
+    out.append(WarmupProgram("bucket 4096x2304 33^3 10-bit 422 (DCI pro)",
+                             4096, 2304, 33, in_depth=10, out_depth=10,
+                             in_subsampling="422", out_subsampling="422"))
+    return out
+
+
+DEFAULT_PROGRAMS += _bucket_programs()
+
+
 def _synthetic_prep(size: int):
     from ..colorcore import Lut3D
     from ..ops import prepare_lut

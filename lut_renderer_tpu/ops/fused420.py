@@ -64,7 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..colorcore import matrices as cm
 from ..colorcore.dither import bayer_offsets
 from .lut3d import (
-    _COARSE2_BM,
+    _coarse2_bm,
     _block_pixels,
     _bf16_quad_body,
     _fine_taps_remapped,
@@ -250,6 +250,10 @@ def fused420_applicable(y, u, cfg, prep) -> bool:
         and y.ndim >= 2
     ):
         return False
+    # N >= 97 class: a LUT whose every kernel tier exceeds VMEM resolves
+    # to the XLA gather path (prepare.resolve_precision) — no fused kernel
+    if prep.resolve_precision(cfg.interp, cfg.lut_precision) == "gather":
+        return False
     in_sub, out_sub = cfg.in_subsampling, cfg.out_subsampling
     if in_sub not in ("420", "422", "444") or out_sub not in ("420", "422",
                                                               "444"):
@@ -296,7 +300,7 @@ def render_fused420(y, u, v, prep, cfg, interpret=False, lut_operands=None):
     dmax = tuple(float(x) for x in prep.domain_max)
 
     n_passes = 1 if cfg.interp in ("nearest", "trilinear") else 2
-    target = (_COARSE2_BM if tier.startswith("coarse")
+    target = (_coarse2_bm(n) if tier.startswith("coarse")
               else _block_pixels(n, tier, n_passes))
     Wp = -(-W // 128) * 128  # lane-padded kernel width
     chunk = _lane_chunk(Wp, target)

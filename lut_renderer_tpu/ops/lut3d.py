@@ -67,21 +67,90 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 1024
     if n <= 49:
         return 512
+    if n <= 65:
+        if mode in ("int8", "int8_fast", "int8_lite"):
+            # direct int8 tiers at N=65 swept on v5e (experiments/
+            # r3_65cube_ablate*.py + r3_33_lite_opt.py, i32-select masks):
+            # tetra int8_lite 72.0 ms at 256 -> 62.8 at 512 -> 47.9 at
+            # 1024 -> 45.8 at 2048 -> 45.2 at 4096 (Mosaic streams the
+            # per-quadrant masks, so the K ~ N^2/4 block never
+            # materializes whole)
+            return 4096
+        return 256
+    # N >= 97 (the 97/129 class, round 5): the table operand alone is
+    # 3-14 MB of the ~16 MB VMEM, so blocks shrink to keep the quadrant
+    # masks/dot temporaries inside the remainder (tier_fits_vmem is the
+    # gate; these sizes verified compiling + measured on v5e,
+    # experiments/r8_bigcube.py).
     if mode in ("int8", "int8_fast", "int8_lite"):
-        # direct int8 tiers at N=65 swept on v5e (experiments/
-        # r3_65cube_ablate*.py + r3_33_lite_opt.py, i32-select masks):
-        # tetra int8_lite 72.0 ms at 256 -> 62.8 at 512 -> 47.9 at 1024 ->
-        # 45.8 at 2048 -> 45.2 at 4096 (Mosaic streams the per-quadrant
-        # masks, so the K ~ N^2/4 block never materializes whole)
-        return 4096
+        return 2048 if n <= 97 else 1024
     return 256
 
 
-# Merged coarse+residual kernel block size (N >= 49): the resid masks
-# (K ~ N^2/4 per quadrant x BM) are the VMEM heavyweight; swept on v5e
-# round 3 (experiments/r3_65cube_ablate.py): 4K 65-cube tetra 80.1 ms at
-# 512 / 76.2 at 1024 / 71.3 at 2048.
-_COARSE2_BM = 2048
+def _coarse2_bm(n: int) -> int:
+    """Merged coarse+residual kernel block size: the resid masks
+    (K ~ N^2/4 per quadrant x BM) are the VMEM heavyweight; swept on v5e
+    round 3 at N=65 (experiments/r3_65cube_ablate.py): 4K 65-cube tetra
+    80.1 ms at 512 / 76.2 at 1024 / 71.3 at 2048. N >= 97 shrinks with the
+    growing resid table operand (round 5, experiments/r8_bigcube.py)."""
+    if n <= 65:
+        return 2048
+    return 1024 if n <= 97 else 512
+
+
+# Usable VMEM budget for the fit gate: ~16 MB/core minus headroom for
+# Mosaic's own double-buffering of the io blocks and compiler spill slack.
+_VMEM_BUDGET = 14 << 20
+
+
+def tier_vmem_bytes(prep, interp: str, mode: str) -> int:
+    """Conservative per-grid-step VMEM estimate for `mode` on this LUT:
+    the resident table operand(s) (BlockSpec'd whole into VMEM) plus the
+    per-block scratch the kernel body materializes (largest quadrant
+    one-hot mask, quadrant dot output, accumulator, io blocks).
+
+    Exists for the N >= 97 LUT class (round-5): at N=129 the int8 pair /
+    bf16 tiers alone are 14-28 MB, so prepare.resolve_precision walks only
+    FITTING tiers and apply_lut_planes raises on an explicit tier that
+    cannot launch (reference accepts any N via FFmpeg's interpreter,
+    ffmpeg.py:243-244 — here the fitting-tier subset plus the gather
+    strategy carries the envelope)."""
+    n = prep.size
+    n_passes = 1 if interp in ("nearest", "trilinear") else 2
+    coarse2 = mode.startswith("coarse2")
+    bm = _coarse2_bm(n) if coarse2 else _block_pixels(n, mode, n_passes)
+    rows = prep.rows_pad
+
+    def scratch(rows_dot, maxw, opbytes):
+        return (maxw * bm * opbytes      # hoisted one-hot quadrant mask
+                + rows_dot * bm * 4      # quadrant dot output (f32)
+                + 8 * bm * 4 + 3 * bm * 4)  # out + rgb io blocks
+
+    if coarse2:
+        if prep.coarse is None:
+            return 1 << 62  # not buildable at all
+        total = rows * sum(prep.resid_quad_widths)  # resid int8 plane
+        total += scratch(rows, max(prep.resid_quad_widths), 1)
+        cp = prep.coarse
+        cmode = ("exact" if mode.startswith("coarse2x")
+                 else "fast" if mode.startswith("coarse2f")
+                 else "int8_fast")
+        crows = cp.rows_pad if cmode == "fast" else 2 * cp.rows_pad
+        opb = 1 if cmode == "int8_fast" else 2
+        total += crows * sum(cp.quad_widths) * opb
+        total += scratch(cp.rows_pad, max(cp.quad_widths), opb)
+        return int(total)
+
+    k = sum(prep.quad_widths)
+    if mode in ("int8", "int8_fast", "int8_lite"):
+        lrows = rows if mode == "int8_lite" else 2 * rows
+        return int(lrows * k + scratch(rows, max(prep.quad_widths), 1))
+    arows = rows if mode == "fast" else 2 * rows
+    return int(arows * k * 2 + scratch(rows, max(prep.quad_widths), 2))
+
+
+def tier_fits_vmem(prep, interp: str, mode: str) -> bool:
+    return tier_vmem_bytes(prep, interp, mode) <= _VMEM_BUDGET
 
 
 def lut3d_tpu_available() -> bool:
@@ -587,6 +656,10 @@ def kernel_operands(prep: PreparedLut, interp: str,
     cache serves never-seen LUTs with zero compiles (engine.warmup)."""
     precision = prep.resolve_precision(interp, precision)
     rows_pad = prep.rows_pad
+    if precision == "gather":
+        # no kernel tier fits VMEM for this LUT: the XLA gather path takes
+        # the raw table as its (LUT-agnostic) operand
+        return {"table": prep.table}
     if precision.startswith("coarse") and prep.coarse is not None:
         cp = prep.coarse
         coarse_mode = ("exact" if precision.startswith("coarse2x")
@@ -734,7 +807,7 @@ def _run_coarse2_fused(rgb3, prep, n: int, interp: str, precision: str,
     kc = lc.shape[1]
 
     npix = rgb3.shape[1]
-    bm = _COARSE2_BM
+    bm = _coarse2_bm(n)
     assert npix % bm == 0
     kernel = functools.partial(
         _fused_kernel_coarse2, n, m, interp,
@@ -818,13 +891,25 @@ def apply_lut_planes(
     """
     if interp not in ("nearest", "trilinear", "tetrahedral", "pyramid", "prism"):
         interp = "tetrahedral"
+    requested = precision
     precision = prep.resolve_precision(interp, precision)
     # (pyramid's negative difference-pass weights are fine in the int8 tiers
     # since the hoisted-dot restructure: weights are exact f32 post-dot.)
     shape = r.shape
     n = prep.size
 
-    if strategy == "gather":
+    if (strategy == "mxu" and precision != "gather"
+            and not tier_fits_vmem(prep, interp, precision)):
+        # only reachable with an EXPLICIT tier request (auto walks fitting
+        # tiers only): no silent degradation, same contract as forcing an
+        # inapplicable fused layout
+        raise ValueError(
+            f"LUT tier {requested!r} needs ~"
+            f"{tier_vmem_bytes(prep, interp, precision) >> 20} MB of "
+            f"VMEM at N={n} (> ~16 MB/core); use precision='auto' (walks "
+            f"fitting tiers) or strategy='gather'")
+
+    if strategy == "gather" or precision == "gather":
         table = jnp.asarray(operands["table"] if operands is not None
                             and "table" in operands else prep.table)
         rgb = jnp.stack([r, g, b], axis=-1)
@@ -843,7 +928,7 @@ def apply_lut_planes(
     coarse2 = precision.startswith("coarse") and prep.coarse is not None
     # coarse2 is one merged kernel (coarse + residual share the block) at
     # its own swept block size
-    bm = _COARSE2_BM if coarse2 else _block_pixels(n, precision, n_passes)
+    bm = _coarse2_bm(n) if coarse2 else _block_pixels(n, precision, n_passes)
     pad = (-npix) % bm
     if pad:
         rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])

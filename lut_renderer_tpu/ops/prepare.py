@@ -167,6 +167,7 @@ class PreparedLut:
         cached = self._auto_cache.get(interp)
         if cached is not None:
             return cached
+        from .lut3d import tier_fits_vmem
         # measured 4K cost order on v5e (ms, 33^3 tetra, round-3
         # i32-select masks + block sweep): int8_lite 15.9 < fast 16.5 <
         # int8_fast 20.0 < exact. All tables are identity-detrended;
@@ -187,7 +188,18 @@ class PreparedLut:
             # FINDINGS.)
             ladder = ["int8_lite", "coarse2f", "coarse2", "fast",
                       "int8_fast", "coarse2x"]
-        choice = "exact"
+        # N >= 97 class: tiers whose resident operands cannot fit VMEM can
+        # never launch — the ladder walks only fitting tiers (at N=129
+        # that's int8_lite/coarse2f/coarse2; lut3d.tier_vmem_bytes).
+        ladder = [m for m in ladder if tier_fits_vmem(self, interp, m)]
+        if tier_fits_vmem(self, interp, "exact"):
+            choice = "exact"
+        elif ladder:
+            # nothing may clear the budget (pathological LUT): fall back
+            # to the most accurate tier that can actually launch
+            choice = min(ladder, key=lambda m: self.mode_error(interp, m))
+        else:  # no kernel tier fits at all: the XLA gather path takes over
+            choice = "gather"
         for mode in ladder:
             if self.mode_error(interp, mode) * SIM_MARGIN <= budget:
                 choice = mode

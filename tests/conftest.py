@@ -24,6 +24,11 @@ import shutil as _shutil  # noqa: E402
 import tempfile as _tempfile  # noqa: E402
 
 os.environ["LUT_TPU_TIERGATE_CACHE"] = ""
+# Exact-geometry programs by default: the test suite's tiny synthetic clips
+# (64x64 etc.) would otherwise all pad up to the 640x368 serving bucket and
+# multiply CPU render work ~60x. Bucketing itself is covered explicitly in
+# tests/test_geometry_bucket.py, which monkeypatches this back to "bucket".
+os.environ["LUT_TPU_GEOMETRY"] = "exact"
 for _var in ("LUT_TPU_CONFIG_DIR", "LUT_TPU_THUMB_DIR"):
     _tmp = _tempfile.mkdtemp(prefix=f"lut_tpu_test_{_var[8:14].lower()}_")
     os.environ[_var] = _tmp
