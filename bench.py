@@ -302,6 +302,74 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
             fused_fps(prep33, cfg4, 1080, 1920, 16, 8), 2)
     except Exception as exc:  # pragma: no cover
         out["error_config4"] = str(exc)[:160]
+    try:
+        # Round 5: the N >= 97 LUT envelope (cube.py's MAX_LUT_SIZE = 129
+        # promise, VMEM-gated tiers — ops.lut3d.tier_fits_vmem). Dense
+        # 3*N^3 int8 MACs/px is the physics; rates follow the N^3 floor.
+        for nbig in (97, 129):
+            if over_budget(f"{nbig}cube"):
+                return out
+            lutb = _film_lut65()  # same grading-style content, resampled
+            from lut_renderer_tpu.colorcore import Lut3D
+
+            idx = np.linspace(0, 64, nbig)
+            lo = np.floor(idx).astype(int)
+            hi = np.minimum(lo + 1, 64)
+            f = (idx - lo).astype(np.float32)
+            t = lutb.table
+            for ax in range(3):
+                sl = [slice(None)] * 4
+                sl_lo, sl_hi = list(sl), list(sl)
+                sl_lo[ax], sl_hi[ax] = lo, hi
+                w = f.reshape([-1 if i == ax else 1 for i in range(3)]
+                              + [1])
+                t = t[tuple(sl_lo)] * (1 - w) + t[tuple(sl_hi)] * w
+            prepb = prepare_lut(Lut3D(table=np.ascontiguousarray(
+                t.astype(np.float32)), title=f"film{nbig}"))
+            cfgb = RenderConfig(interp="tetrahedral")
+            out[f"fps_4k_{nbig}cube_tetra"] = round(
+                fused_fps(prepb, cfgb, H, W, 2, 8), 2)
+            out[f"precision_{nbig}cube"] = prepb.resolve_precision(
+                "tetrahedral")
+    except Exception as exc:  # pragma: no cover
+        out["error_bigcube"] = str(exc)[:160]
+    try:
+        # Round 5: ad hoc geometry serving latency (engine.geometry) —
+        # first batch of a NEVER-warmed-shape render through the bucket
+        # program (the reference serves any geometry instantly; this field
+        # proves the rebuild does too: sub-second, zero compiles).
+        if over_budget("adhoc"):
+            return out
+        from lut_renderer_tpu.engine.geometry import (
+            pad_batch_to_bucket,
+            pick_bucket,
+        )
+        from lut_renderer_tpu.ops.render import make_render_fn
+
+        w_a, h_a = 636, 356  # even, never warmed, never seen anywhere
+        bucket = pick_bucket(w_a, h_a)
+        if bucket is not None:
+            cfg_a = RenderConfig(interp="tetrahedral")
+            fn = make_render_fn(prep33, cfg_a)
+            bw, bh = bucket
+            # daemon analog: the bucket program is already loaded (warmup
+            # runs it); one call at the bucket shape loads it here, then
+            # the timed part is the never-seen geometry's FIRST batch
+            z = np.zeros((16, bh, bw), np.uint8)
+            zc = np.zeros((16, bh // 2, bw // 2), np.uint8)
+            float(jnp.sum(fn(z, zc, zc)[0].astype(jnp.float32)))
+            ya = rng.integers(16, 235, (16, h_a, w_a)).astype(np.uint8)
+            ua = rng.integers(16, 235,
+                              (16, h_a // 2, w_a // 2)).astype(np.uint8)
+            t0 = time.perf_counter()
+            yp, up, vp = pad_batch_to_bucket(ya, ua, ua, bucket, "420")
+            first = fn(yp, up, vp)
+            float(jnp.sum(first[0].astype(jnp.float32)))
+            out["adhoc_636x356_first_batch_s"] = round(
+                time.perf_counter() - t0, 3)
+            out["adhoc_bucket"] = f"{bw}x{bh}"
+    except Exception as exc:  # pragma: no cover
+        out["error_adhoc"] = str(exc)[:160]
     return out
 
 

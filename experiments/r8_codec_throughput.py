@@ -42,13 +42,20 @@ def planes(rng, w, h, pix_fmt):
     hi = (1 << depth) - 1
     cw = w // 2 if "420" in pix_fmt or "422" in pix_fmt else w
     ch = h // 2 if "420" in pix_fmt else h
-    # moving gradient-ish content: neither pathological noise nor static
+    # moving-gradient content with mild texture: representative grading
+    # footage, not pathological noise (a first cut with pure-noise chroma
+    # inflated entropy coding ~3-10x on prores/ffv1 — worst case, not
+    # steering-relevant)
     base = np.linspace(0, hi, w, dtype=np.float32)
-    ys = []
+    tex = rng.normal(0, hi * 0.01, (h, w)).astype(np.float32)
+    ctex = rng.normal(0, hi * 0.01, (ch, cw)).astype(np.float32)
+    cbase = np.linspace(hi * 0.35, hi * 0.65, cw, dtype=np.float32)
+    ys, us = [], []
     for i in range(8):
-        ys.append(((base[None, :] + i * 37) % (hi + 1)).astype(dt)
-                  .repeat(h, 0).reshape(h, w))
-    us = [rng.integers(0, hi + 1, (ch, cw)).astype(dt) for _ in range(8)]
+        ys.append(np.clip((base[None, :] + i * 37) % (hi + 1) + tex,
+                          0, hi).astype(dt))
+        us.append(np.clip(cbase[None, :] + i * 11 + ctex,
+                          0, hi).astype(dt).reshape(ch, cw))
     return ys, us
 
 

@@ -35,7 +35,16 @@ TOPICS: Dict[str, str] = {
   hides that — the task fails with a clear error if you request one.
   copy: stream-copies video. A LUT cannot be applied to a copied stream;
   task creation auto-switches to an encoding codec (the reference's
-  copy-codec guard) or `plan` raises if forced.""",
+  copy-codec guard) or `plan` raises if forced.
+
+  Throughput steering (encode runs on the HOST; the TPU renders 4K at
+  50-220 fps, so a slow encoder IS the pipeline bound — measured on one
+  core, experiments/r8_codec_throughput.py):
+    mpeg4 ~113 fps 1080p / 23 fps 4K and mjpeg ~100/40 are the
+    throughput-cheap lossy picks for serving; utvideo (~39/7) and ffv1
+    (~13/4.5) when lossless matters; libvpx-vp9 (~3.5/0.9 at CRF) and
+    prores_ks (~1.9/0.6 — the bundled build is single-threaded) are
+    quality-bound offline choices.""",
     "pix_fmt": """\
 --pix-fmt FMT (blank = policy decides)
   Output pixel format. The bit-depth policy fills this when blank:

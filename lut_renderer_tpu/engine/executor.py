@@ -229,6 +229,16 @@ def run_stage(
         enc_q: "queue.Queue" = queue.Queue(maxsize=2)
         enc_error: list = []
 
+        def _stage_batch(ys, us, vs):
+            # geometry pad runs HERE on the decode thread, overlapping the
+            # device's render of the previous batch (in the main loop it
+            # serialized with dispatch — ~0.5 s/4K batch of host fill)
+            a, b, c = np.stack(ys), np.stack(us), np.stack(vs)
+            if bucket is not None:
+                a, b, c = pad_batch_to_bucket(a, b, c, bucket,
+                                              cfg.in_subsampling)
+            return a, b, c
+
         def decode_loop():
             t0 = time.perf_counter()
             ys, us, vs = [], [], []
@@ -241,17 +251,13 @@ def run_stage(
                     us.append(frame.u)
                     vs.append(frame.v)
                     if len(ys) == bsz:
-                        batch_q.put(
-                            ("batch", np.stack(ys), np.stack(us), np.stack(vs), bsz)
-                        )
+                        batch_q.put(("batch", *_stage_batch(ys, us, vs), bsz))
                         ys, us, vs = [], [], []
                 if ys and not cancel.is_set():
                     count = len(ys)
                     while len(ys) < bsz:  # pad to the compiled shape
                         ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
-                    batch_q.put(
-                        ("batch", np.stack(ys), np.stack(us), np.stack(vs), count)
-                    )
+                    batch_q.put(("batch", *_stage_batch(ys, us, vs), count))
                 batch_q.put(("eof", None, None, None, 0))
             except Exception as exc:  # pragma: no cover - propagated below
                 batch_q.put(("error", exc, None, None, 0))
@@ -343,9 +349,6 @@ def run_stage(
                 t0 = time.perf_counter()
                 dispatched = None
                 if kind != "eof":
-                    if bucket is not None:
-                        a, b, c = pad_batch_to_bucket(
-                            a, b, c, bucket, cfg.in_subsampling)
                     if put_fn is not None:
                         a, b, c = put_fn(a, b, c)
                     dispatched = (*render_fn(a, b, c), count)

@@ -99,11 +99,20 @@ def pad_batch_to_bucket(y, u, v, bucket: Tuple[int, int],
     bcw, bch = _chroma_dims(bw, bh, in_subsampling)
 
     def _pad(a, th, tw):
-        ph, pw = th - a.shape[-2], tw - a.shape[-1]
-        if ph == 0 and pw == 0:
+        h, w = a.shape[-2], a.shape[-1]
+        if th == h and tw == w:
             return np.ascontiguousarray(a)
-        cfg = [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)]
-        return np.pad(a, cfg, mode="edge")
+        # manual fill instead of np.pad(mode="edge"): pad's generic path
+        # measured ~0.5 s/4K-batch on this one-core host, ~10x the cost of
+        # the plain copies below (the interior memcpy + two broadcast
+        # edge fills)
+        out = np.empty(a.shape[:-2] + (th, tw), a.dtype)
+        out[..., :h, :w] = a
+        if tw > w:
+            out[..., :h, w:] = a[..., :, w - 1:w]
+        if th > h:
+            out[..., h:, :] = out[..., h - 1:h, :]
+        return out
 
     if h > bh or w > bw:
         raise ValueError(f"frame {w}x{h} exceeds bucket {bw}x{bh}")

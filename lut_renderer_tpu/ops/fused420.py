@@ -254,6 +254,13 @@ def fused420_applicable(y, u, cfg, prep) -> bool:
     # to the XLA gather path (prepare.resolve_precision) — no fused kernel
     if prep.resolve_precision(cfg.interp, cfg.lut_precision) == "gather":
         return False
+    # N > 97: the fused kernel's in-kernel glue on top of the table
+    # operand kills the Mosaic compile at 129 even at the smallest chunk
+    # (measured round 5, experiments/r8_bigcube.py: the PLAIN-layout LUT
+    # kernel compiles at bm=256, every fused variant dies in the compile
+    # helper) — big cubes take the rowphase/plain layout instead
+    if prep.size > 97:
+        return False
     in_sub, out_sub = cfg.in_subsampling, cfg.out_subsampling
     if in_sub not in ("420", "422", "444") or out_sub not in ("420", "422",
                                                               "444"):

@@ -79,11 +79,15 @@ def _block_pixels(n: int, mode: str = "exact", n_passes: int = 2) -> int:
         return 256
     # N >= 97 (the 97/129 class, round 5): the table operand alone is
     # 3-14 MB of the ~16 MB VMEM, so blocks shrink to keep the quadrant
-    # masks/dot temporaries inside the remainder (tier_fits_vmem is the
-    # gate; these sizes verified compiling + measured on v5e,
-    # experiments/r8_bigcube.py).
+    # masks/dot temporaries inside the remainder. Sizes are EMPIRICAL
+    # (experiments/r8_bigcube.py + the bm probe): every N=97 tier
+    # compiles at these blocks; at N=129 the Mosaic compile fails for
+    # int8 blocks above 256 (bm 512 est ~10 MB still dies in the
+    # compiler; 256 compiles and runs) — the analytic tier_fits_vmem
+    # model gates which TIERS can exist, the block table encodes what
+    # the compiler actually accepts.
     if mode in ("int8", "int8_fast", "int8_lite"):
-        return 2048 if n <= 97 else 1024
+        return 2048 if n <= 97 else 256
     return 256
 
 
@@ -95,7 +99,7 @@ def _coarse2_bm(n: int) -> int:
     growing resid table operand (round 5, experiments/r8_bigcube.py)."""
     if n <= 65:
         return 2048
-    return 1024 if n <= 97 else 512
+    return 1024 if n <= 97 else 256
 
 
 # Usable VMEM budget for the fit gate: ~16 MB/core minus headroom for
