@@ -303,37 +303,6 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
     except Exception as exc:  # pragma: no cover
         out["error_config4"] = str(exc)[:160]
     try:
-        # Round 5: the N >= 97 LUT envelope (cube.py's MAX_LUT_SIZE = 129
-        # promise, VMEM-gated tiers — ops.lut3d.tier_fits_vmem). Dense
-        # 3*N^3 int8 MACs/px is the physics; rates follow the N^3 floor.
-        for nbig in (97, 129):
-            if over_budget(f"{nbig}cube"):
-                return out
-            lutb = _film_lut65()  # same grading-style content, resampled
-            from lut_renderer_tpu.colorcore import Lut3D
-
-            idx = np.linspace(0, 64, nbig)
-            lo = np.floor(idx).astype(int)
-            hi = np.minimum(lo + 1, 64)
-            f = (idx - lo).astype(np.float32)
-            t = lutb.table
-            for ax in range(3):
-                sl = [slice(None)] * 4
-                sl_lo, sl_hi = list(sl), list(sl)
-                sl_lo[ax], sl_hi[ax] = lo, hi
-                w = f.reshape([-1 if i == ax else 1 for i in range(3)]
-                              + [1])
-                t = t[tuple(sl_lo)] * (1 - w) + t[tuple(sl_hi)] * w
-            prepb = prepare_lut(Lut3D(table=np.ascontiguousarray(
-                t.astype(np.float32)), title=f"film{nbig}"))
-            cfgb = RenderConfig(interp="tetrahedral")
-            out[f"fps_4k_{nbig}cube_tetra"] = round(
-                fused_fps(prepb, cfgb, H, W, 2, 8), 2)
-            out[f"precision_{nbig}cube"] = prepb.resolve_precision(
-                "tetrahedral")
-    except Exception as exc:  # pragma: no cover
-        out["error_bigcube"] = str(exc)[:160]
-    try:
         # Round 5: ad hoc geometry serving latency (engine.geometry) —
         # first batch of a NEVER-warmed-shape render through the bucket
         # program (the reference serves any geometry instantly; this field
@@ -370,6 +339,37 @@ def measure_extra_configs(lut33, deadline: float) -> dict:
             out["adhoc_bucket"] = f"{bw}x{bh}"
     except Exception as exc:  # pragma: no cover
         out["error_adhoc"] = str(exc)[:160]
+    try:
+        # Round 5: the N >= 97 LUT envelope (cube.py's MAX_LUT_SIZE = 129
+        # promise, VMEM-gated tiers — ops.lut3d.tier_fits_vmem). Dense
+        # 3*N^3 int8 MACs/px is the physics; rates follow the N^3 floor.
+        for nbig in (97, 129):
+            if over_budget(f"{nbig}cube"):
+                return out
+            lutb = _film_lut65()  # same grading-style content, resampled
+            from lut_renderer_tpu.colorcore import Lut3D
+
+            idx = np.linspace(0, 64, nbig)
+            lo = np.floor(idx).astype(int)
+            hi = np.minimum(lo + 1, 64)
+            f = (idx - lo).astype(np.float32)
+            t = lutb.table
+            for ax in range(3):
+                sl = [slice(None)] * 4
+                sl_lo, sl_hi = list(sl), list(sl)
+                sl_lo[ax], sl_hi[ax] = lo, hi
+                w = f.reshape([-1 if i == ax else 1 for i in range(3)]
+                              + [1])
+                t = t[tuple(sl_lo)] * (1 - w) + t[tuple(sl_hi)] * w
+            prepb = prepare_lut(Lut3D(table=np.ascontiguousarray(
+                t.astype(np.float32)), title=f"film{nbig}"))
+            cfgb = RenderConfig(interp="tetrahedral")
+            out[f"fps_4k_{nbig}cube_tetra"] = round(
+                fused_fps(prepb, cfgb, H, W, 2, 8), 2)
+            out[f"precision_{nbig}cube"] = prepb.resolve_precision(
+                "tetrahedral")
+    except Exception as exc:  # pragma: no cover
+        out["error_bigcube"] = str(exc)[:160]
     return out
 
 

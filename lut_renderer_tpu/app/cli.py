@@ -559,7 +559,26 @@ def cmd_serve(args) -> int:
     from .server import QueueServer
 
     enable_persistent_compile_cache()
-    if getattr(args, "warmup", False):
+    if getattr(args, "warmup_background", False):
+        # serve immediately; programs warm behind the queue (a job whose
+        # program isn't warmed yet simply compiles/loads it itself).
+        # Startup warm is minutes even from the persistent cache on a
+        # one-core host (tracing cost), so daemons that must accept jobs
+        # at once use this.
+        import threading as _threading
+
+        from ..engine.warmup import warmup_programs
+
+        def _bg_warm():
+            recs = warmup_programs(log=lambda m: print("  " + m, flush=True))
+            print(f"background warmup done: "
+                  f"{sum(r['ok'] for r in recs)}/{len(recs)} programs",
+                  flush=True)
+
+        print("warming the production program set in the background")
+        _threading.Thread(target=_bg_warm, daemon=True,
+                          name="lut-tpu-warmup").start()
+    elif getattr(args, "warmup", False):
         from ..engine.warmup import warmup_programs
 
         print("warming the production program set "
@@ -805,6 +824,11 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--warmup", action="store_true",
                        help="precompile the production program set before "
                             "accepting jobs (cold-start protection)")
+    serve.add_argument("--warmup-background", action="store_true",
+                       help="like --warmup but serve immediately while the "
+                            "program set warms behind the queue (startup "
+                            "is minutes on a one-core host even from the "
+                            "persistent cache — tracing cost)")
     serve.add_argument("--http", type=int, metavar="PORT",
                        help="also serve the web GUI (the browser analog of "
                             "the reference's main window) on this port; "

@@ -348,6 +348,11 @@ def prep_static_key(prep: Optional[PreparedLut], cfg: RenderConfig):
 # grow without limit; evicted fns fall back to the persistent XLA cache.
 _RENDER_FN_CACHE: dict = {}
 _RENDER_FN_CACHE_MAX = 32
+# concurrent TaskRunners (daemon concurrency > 1) and parallel warmup
+# threads all reach this cache; the FIFO eviction loop is not atomic
+import threading as _threading
+
+_RENDER_FN_CACHE_LOCK = _threading.Lock()
 
 
 def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
@@ -371,16 +376,17 @@ def make_render_fn(prep: Optional[PreparedLut], cfg: RenderConfig,
                                interpret=interpret)
         return jax.jit(lambda y, u, v: fn(y, u, v))
     key = (cfg, interpret, prep_static_key(prep, cfg))
-    jitted = _RENDER_FN_CACHE.get(key)
-    if jitted is None:
-        fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
-                               interpret=interpret)
-        jitted = jax.jit(
-            lambda y, u, v, ops, rsw: fn(y, u, v, lut_operands=ops,
-                                         resize_weights=rsw))
-        while len(_RENDER_FN_CACHE) >= _RENDER_FN_CACHE_MAX:
-            _RENDER_FN_CACHE.pop(next(iter(_RENDER_FN_CACHE)))
-        _RENDER_FN_CACHE[key] = jitted
+    with _RENDER_FN_CACHE_LOCK:
+        jitted = _RENDER_FN_CACHE.get(key)
+        if jitted is None:
+            fn = functools.partial(render_yuv_frame, prep=prep, cfg=cfg,
+                                   interpret=interpret)
+            jitted = jax.jit(
+                lambda y, u, v, ops, rsw: fn(y, u, v, lut_operands=ops,
+                                             resize_weights=rsw))
+            while len(_RENDER_FN_CACHE) >= _RENDER_FN_CACHE_MAX:
+                _RENDER_FN_CACHE.pop(next(iter(_RENDER_FN_CACHE)))
+            _RENDER_FN_CACHE[key] = jitted
     ops_dev = None if ops_np is None else jax.device_put(ops_np)
     if cfg.resize is None:
         return lambda y, u, v: jitted(y, u, v, ops_dev, None)

@@ -445,3 +445,21 @@ def test_warmup_programs_cpu():
     assert all(r["ok"] for r in recs), recs
     assert recs[0]["tier"] in ("fast", "int8_lite", "int8_fast", "exact")
     assert len(logs) == 2 and all("warmup:" in l for l in logs)
+
+
+def test_warmup_ladder_covers_geometry_buckets():
+    """Drift pin: every serving bucket (engine.geometry.BUCKETS) except
+    the documented 8K compile-on-first-use rung must have a warmup
+    program at its exact geometry — otherwise pick_bucket routes ad hoc
+    jobs onto shapes `serve --warmup` never compiled and the 620s cold
+    compile quietly returns."""
+    from lut_renderer_tpu.engine.geometry import BUCKETS
+    from lut_renderer_tpu.engine.warmup import DEFAULT_PROGRAMS
+
+    warmed = {(p.width, p.height) for p in DEFAULT_PROGRAMS}
+    missing = [b for b in BUCKETS if b != (7680, 4320) and b not in warmed]
+    assert not missing, f"buckets without warmup programs: {missing}"
+    # and the bucket programs warm the auto ladder head + the bf16 rung
+    for p in DEFAULT_PROGRAMS:
+        if p.label.startswith("bucket ") and "10-bit" not in p.label:
+            assert p.tiers == ("auto", "fast"), p
