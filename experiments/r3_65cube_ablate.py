@@ -78,10 +78,13 @@ bench("direct int8_fast tetra", "tetrahedral", "int8_fast")
 bench("direct fast (bf16 hi) tetra", "tetrahedral", "fast")
 bench("coarse2 (int8 coarse) tetra", "tetrahedral", "coarse2")
 
+# (_COARSE2_BM became the size-dependent _coarse2_bm(n) in round 5 —
+# monkeypatch the function, like the _block_pixels sweep below)
+_orig_cbm = L._coarse2_bm
 for bm in (512, 2048):
-    L._COARSE2_BM = bm
+    L._coarse2_bm = lambda n, _bm=bm: _bm
     bench(f"coarse2f tetra bm{bm}", "tetrahedral", "coarse2f")
-L._COARSE2_BM = 1024
+L._coarse2_bm = _orig_cbm
 
 # block sweep for the direct lite tier (N>=49 1-pass policy is 512/256)
 import lut_renderer_tpu.ops.lut3d as l3

@@ -530,12 +530,16 @@ def cmd_doctor(args) -> int:
         from ..engine.geometry import BUCKETS, geometry_mode
 
         mode = geometry_mode()
-        report("geometry programs", True,
-               f"mode={mode} "
-               + (f"({len(BUCKETS)}-bucket ladder: ad hoc resolutions "
-                  f"pad-and-crop onto warmed programs)" if mode == "bucket"
-                  else "(every resolution compiles its own program; "
-                       "LUT_TPU_GEOMETRY=exact)"))
+        detail = {
+            "auto": f"(on TPU, ad hoc resolutions pad-and-crop onto the "
+                    f"{len(BUCKETS)}-bucket warmed ladder; exact shapes "
+                    f"elsewhere)",
+            "bucket": f"({len(BUCKETS)}-bucket ladder forced on every "
+                      f"platform)",
+            "exact": "(every resolution compiles its own program; "
+                     "LUT_TPU_GEOMETRY=exact)",
+        }[mode]
+        report("geometry programs", True, f"mode={mode} {detail}")
     except Exception as exc:
         report("geometry programs", False, str(exc)[:80])
     if getattr(args, "warmup", False):
@@ -570,10 +574,15 @@ def cmd_serve(args) -> int:
         from ..engine.warmup import warmup_programs
 
         def _bg_warm():
-            recs = warmup_programs(log=lambda m: print("  " + m, flush=True))
-            print(f"background warmup done: "
-                  f"{sum(r['ok'] for r in recs)}/{len(recs)} programs",
-                  flush=True)
+            try:
+                recs = warmup_programs(
+                    log=lambda m: print("  " + m, flush=True))
+                print(f"background warmup done: "
+                      f"{sum(r['ok'] for r in recs)}/{len(recs)} programs",
+                      flush=True)
+            except Exception as exc:  # daemon keeps serving, but say so
+                print(f"background warmup FAILED ({exc}); first jobs on "
+                      f"unwarmed programs will compile", flush=True)
 
         print("warming the production program set in the background")
         _threading.Thread(target=_bg_warm, daemon=True,

@@ -371,10 +371,13 @@ class WebUI:
             def _authed(self, q) -> bool:
                 if ui.token is None:
                     return True
+                import hmac
+
                 presented = (self.headers.get("X-Auth-Token")
                              or self._cookie_token()
                              or q.get("token", [""])[0])
-                ok = presented == ui.token
+                # constant-time: the port may be network-reachable
+                ok = hmac.compare_digest(presented, ui.token)
                 if ok and q.get("token", [""])[0] == ui.token:
                     # first visit via ?token=...: persist it so the page's
                     # fetches and plain <a> download links ride along
@@ -492,9 +495,16 @@ class WebUI:
                 origin = self.headers.get("Origin")
                 if origin:  # CSRF stop #2: explicit cross-origin posts
                     ohost = urlparse(origin).hostname or ""
+                    # same-origin = the host the client actually reached
+                    # (its Host header), NOT the bind address — binding
+                    # 0.0.0.0 or browsing a LAN bind by hostname must not
+                    # 403 the page's own fetches
+                    reached = (self.headers.get("Host") or "").rsplit(
+                        ":", 1)[0].strip("[]")
                     if not (ohost in _LOOPBACK_NAMES
                             or ohost.startswith("127.")
-                            or ohost == ui.host):
+                            or ohost == reached
+                            or f"[{ohost}]" == reached):
                         self._json({"ok": False,
                                     "error": "cross-origin requests are "
                                              "not accepted"}, 403)

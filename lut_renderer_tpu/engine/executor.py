@@ -143,7 +143,11 @@ def run_stage(
             pick_bucket,
         )
 
-        bucket = pick_bucket(w, h) if cfg.resize is None else None
+        import jax as _jax_geo
+
+        on_tpu = _jax_geo.devices()[0].platform == "tpu"
+        bucket = (pick_bucket(w, h, on_tpu=on_tpu)
+                  if cfg.resize is None else None)
         bsz = batch_size or _pick_batch_size(*(bucket or (w, h)))
         log(
             f"engine: {w}x{h} -> {out_w}x{out_h} @{float(fps):.3f}fps, "

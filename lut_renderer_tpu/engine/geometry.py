@@ -60,17 +60,23 @@ EXACT_GEOMETRIES = frozenset({(1920, 1080), (3840, 2160), (7680, 4320)})
 
 
 def geometry_mode() -> str:
-    """"bucket" (default) or "exact" (env LUT_TPU_GEOMETRY=exact) — the
-    measurement/bit-exact escape hatch, surfaced in `doctor`."""
-    mode = os.environ.get("LUT_TPU_GEOMETRY", "bucket").lower()
-    return mode if mode in ("bucket", "exact") else "bucket"
+    """"auto" (default: bucket on TPU, exact elsewhere — XLA CPU compiles
+    in seconds, so padding small clips up to a bucket would cost real
+    render work for no compile-avoidance), "bucket" (force), or "exact"
+    (force off — the measurement/bit-exact escape hatch). Env
+    LUT_TPU_GEOMETRY; surfaced in `doctor`."""
+    mode = os.environ.get("LUT_TPU_GEOMETRY", "auto").lower()
+    return mode if mode in ("auto", "bucket", "exact") else "auto"
 
 
-def pick_bucket(w: int, h: int) -> Optional[Tuple[int, int]]:
+def pick_bucket(w: int, h: int,
+                on_tpu: bool = True) -> Optional[Tuple[int, int]]:
     """The smallest-area bucket covering (w, h), or None when the geometry
     should run an exact-shape program: production geometries, shapes that
-    already ARE a bucket, shapes beyond the ladder, or mode=exact."""
-    if geometry_mode() == "exact":
+    already ARE a bucket, shapes beyond the ladder, mode=exact, or a
+    non-TPU platform under mode=auto."""
+    mode = geometry_mode()
+    if mode == "exact" or (mode == "auto" and not on_tpu):
         return None
     if (w, h) in EXACT_GEOMETRIES or (w, h) in BUCKETS:
         return None

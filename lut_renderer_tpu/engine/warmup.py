@@ -177,7 +177,18 @@ def warmup_programs(
 
     log = log or (lambda m: None)
     on_tpu = jax.devices()[0].platform == "tpu"
-    progs = list(programs if programs is not None else DEFAULT_PROGRAMS)
+    if programs is not None:
+        progs = list(programs)
+    else:
+        from .geometry import geometry_mode
+
+        mode = geometry_mode()
+        buckets_active = (mode == "bucket"
+                          or (mode == "auto" and on_tpu))
+        # don't spend minutes warming bucket programs no job can route to
+        # (LUT_TPU_GEOMETRY=exact, or auto on a non-TPU host)
+        progs = [p for p in DEFAULT_PROGRAMS
+                 if buckets_active or not p.label.startswith("bucket ")]
     if workers is None:
         try:
             workers = int(os.environ.get("LUT_TPU_WARMUP_WORKERS", "0"))

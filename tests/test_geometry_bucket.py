@@ -49,11 +49,43 @@ def test_pick_bucket_policy(bucket_mode):
     assert pick_bucket(9000, 5000) is None
 
 
-def test_exact_mode_escape_hatch(monkeypatch):
+def test_mode_policy(monkeypatch):
     monkeypatch.setenv("LUT_TPU_GEOMETRY", "exact")
     assert pick_bucket(640, 360) is None
+    # default/unknown = auto: bucket on TPU, exact elsewhere (XLA CPU
+    # compiles in seconds — padding would cost real render work for no
+    # compile-avoidance; the code-review catch of round 5)
     monkeypatch.setenv("LUT_TPU_GEOMETRY", "nonsense")
-    assert pick_bucket(640, 360) == (640, 368)  # unknown -> default
+    assert pick_bucket(640, 360, on_tpu=True) == (640, 368)
+    assert pick_bucket(640, 360, on_tpu=False) is None
+    monkeypatch.delenv("LUT_TPU_GEOMETRY")
+    assert pick_bucket(640, 360, on_tpu=False) is None
+    # forced bucket applies everywhere (how these tests exercise it on CPU)
+    monkeypatch.setenv("LUT_TPU_GEOMETRY", "bucket")
+    assert pick_bucket(640, 360, on_tpu=False) == (640, 368)
+
+
+def test_warmup_skips_buckets_when_unroutable(monkeypatch):
+    """`serve --warmup` must not spend minutes compiling bucket programs
+    no job can route to (exact mode / auto off-TPU)."""
+    from lut_renderer_tpu.engine import warmup as W
+
+    captured = {}
+
+    def fake_warm(prog, batch_size, on_tpu, log):
+        captured.setdefault("labels", []).append(prog.label)
+        return [{"label": prog.label, "ok": True}]
+
+    monkeypatch.setattr(W, "_warm_one", fake_warm)
+    monkeypatch.setenv("LUT_TPU_GEOMETRY", "exact")
+    W.warmup_programs()
+    assert not any(l.startswith("bucket ") for l in captured["labels"])
+    n_exact = len(captured["labels"])
+    captured.clear()
+    monkeypatch.setenv("LUT_TPU_GEOMETRY", "bucket")
+    W.warmup_programs()
+    assert any(l.startswith("bucket ") for l in captured["labels"])
+    assert len(captured["labels"]) > n_exact
 
 
 def _planes(rng, w, h, subsampling, depth):

@@ -387,6 +387,36 @@ def test_token_auth(tmp_path):
         WebUI(server, host="0.0.0.0", port=0, settings={})
 
 
+def test_origin_gate_uses_reached_host_not_bind_address(tmp_path):
+    """Same-origin means the host the CLIENT reached (its Host header),
+    not the bind address: a 0.0.0.0-bound daemon browsed via a LAN name
+    must accept the page's own fetches and still reject cross-site
+    Origins (round-5 code-review catch — comparing against the literal
+    bind address 403'd every legitimate POST)."""
+    server = QueueServer(tmp_path / "o.sock", lut_strategy="gather")
+    ui = WebUI(server, host="0.0.0.0", port=0, settings={}, token="tk")
+    ui.start()
+    try:
+        base = f"http://127.0.0.1:{ui.port}"
+        body = json.dumps({"op": "clear"}).encode()
+        same = urllib.request.Request(
+            base + "/api/op", data=body, method="POST",
+            headers={"X-Auth-Token": "tk",
+                     "Content-Type": "application/json",
+                     "Host": "render-box.lan:8080",
+                     "Origin": "http://render-box.lan:8080"})
+        assert _status_of(same) == 200
+        cross = urllib.request.Request(
+            base + "/api/op", data=body, method="POST",
+            headers={"X-Auth-Token": "tk",
+                     "Content-Type": "application/json",
+                     "Host": "render-box.lan:8080",
+                     "Origin": "https://evil.example"})
+        assert _status_of(cross) == 403
+    finally:
+        ui.stop()
+
+
 def test_web_shutdown_is_deterministic(tmp_path):
     """The shutdown reply is flushed BEFORE the signal fires (no wall-clock
     grace timer): by the time the client has the response, the daemon's
