@@ -132,6 +132,17 @@ def run_stage(
         out_w, out_h = parse_resolution(spec.resolution) or (w, h)
         enc_settings = derive_encoder_settings(spec, source_info, out_w, out_h)
         fps = output_fps(spec, source_info)
+        if cfg.resize == (w, h):
+            # taskfactory's smart defaults echo the source size into
+            # `resolution` (the reference main-window behavior), so EVERY
+            # queued job used to carry an identity resize — which forced
+            # the plain layout + two identity matmuls per plane AND an
+            # exact-shape program class (blocking geometry bucketing, so
+            # ad hoc daemon jobs recompiled instead of riding the warmed
+            # ladder — found via a wedged soak, round 5). The 1:1 bicubic
+            # weight matrices are exactly I (resample(x) == x bit-exact),
+            # so dropping the no-op is safe.
+            cfg = _dc.replace(cfg, resize=None)
         # Ad hoc geometries ride a bucket-shaped precompiled program via
         # host-side pad-and-crop (engine.geometry) — the reference renders
         # any resolution with zero warmup, and shape-keyed XLA programs

@@ -201,6 +201,54 @@ def test_executor_bucketed_run_matches_exact(tmp_path, monkeypatch,
     assert n == 5
 
 
+def test_identity_resize_is_normalized_away(tmp_path, monkeypatch,
+                                            random_lut):
+    """taskfactory's smart defaults echo the source size into
+    `resolution` (reference behavior), which used to force an identity
+    resize: the plain layout + two no-op matmuls AND an exact-shape
+    program class that silently disabled geometry bucketing for every
+    queued job (round-5 wedged-soak catch). The executor must drop a
+    resize equal to the source dims, and the result must be identical
+    to the blank-resolution run."""
+    from lut_renderer_tpu.colorcore import write_cube_file
+    from lut_renderer_tpu.engine import run_stage
+    from lut_renderer_tpu.hostio import probe_video
+    from lut_renderer_tpu.hostio.decode import VideoDecoder
+    from lut_renderer_tpu.models import ProcessingParams
+    from lut_renderer_tpu.plan import build_render_spec
+    from lut_renderer_tpu.tasks.runner import load_prepared_lut
+    from lut_renderer_tpu.utils.fixtures import make_gradient_clip
+
+    monkeypatch.setenv("LUT_TPU_GEOMETRY", "bucket")
+    clip = make_gradient_clip(tmp_path / "c.mp4", 100, 56, fps=25.0,
+                              frames=4)
+    cube = write_cube_file(tmp_path / "l.cube", random_lut)
+    info = probe_video(clip)
+    prep = load_prepared_lut(cube)
+
+    outs = {}
+    for tag, resolution in (("echo", "100x56"), ("blank", "")):
+        params = ProcessingParams(video_codec="ffv1", audio_codec="",
+                                  resolution=resolution)
+        lines = []
+        spec = build_render_spec(source=clip,
+                                 output=tmp_path / f"o_{tag}.mkv",
+                                 params=params, lut_path=cube,
+                                 source_info=info)
+        res = run_stage(spec, info, prep, log_cb=lines.append,
+                        lut_strategy="gather")
+        assert res.ok, res.error
+        # the echoed size must NOT force the exact-shape/resize class
+        assert "bucket program" in "\n".join(lines), (tag, lines)
+        outs[tag] = tmp_path / f"o_{tag}.mkv"
+
+    da, db = VideoDecoder(outs["echo"]), VideoDecoder(outs["blank"])
+    for fa, fb in zip(da, db):
+        for pa, pb in ((fa.y, fb.y), (fa.u, fb.u), (fa.v, fb.v)):
+            assert np.array_equal(pa, pb)
+    da.close(), db.close()
+
+
 def test_pad_rejects_oversize():
     y = np.zeros((1, 80, 80), np.uint8)
     u = v = np.zeros((1, 40, 40), np.uint8)
