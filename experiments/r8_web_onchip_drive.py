@@ -9,9 +9,13 @@ the persistent cache since r8_bucket_warm_serving --warmup) and the
 round-5 security gates exercised (token + JSON content type).
 
 RESULT 2026-08-19 (v5e, cold daemon process, ad hoc 640x360, 24 frames):
-  daemon up (incl. --warmup from persistent cache) in 390s; task
-  completed wall=7.0s (vs 620.7s round 4 — 89x); download byte-complete;
-  queue-file completed; shutdown reply + process exit 0.62s.
+  first run: daemon up (incl. --warmup from cache) 390s, task wall 7.0s
+  (riding the round-4 exact program via the identity-resize trap).
+  After the identity-resize normalization (queued jobs take the TRUE
+  bucket path): task wall **1.7s** (vs 620.7s round 4 — 365x);
+  download byte-complete; queue-file completed; shutdown reply +
+  process exit 0.59s. (Daemon warm startup 709s that evening — the
+  remote-compile tunnel slows over a long session, FINDINGS.)
 """
 import json
 import re
