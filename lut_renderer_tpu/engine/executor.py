@@ -139,9 +139,10 @@ def run_stage(
             # the plain layout + two identity matmuls per plane AND an
             # exact-shape program class (blocking geometry bucketing, so
             # ad hoc daemon jobs recompiled instead of riding the warmed
-            # ladder — found via a wedged soak, round 5). The 1:1 bicubic
-            # weight matrices are exactly I (resample(x) == x bit-exact),
-            # so dropping the no-op is safe.
+            # ladder — found via a wedged soak, round 5). The 1:1 resample
+            # is verified BIT-EXACT end to end (resample(x) == x; the
+            # weight matrices carry ~3e-16 off-diagonal residue but it is
+            # below the f32 output ulp), so dropping the no-op is safe.
             cfg = _dc.replace(cfg, resize=None)
         # Ad hoc geometries ride a bucket-shaped precompiled program via
         # host-side pad-and-crop (engine.geometry) — the reference renders
